@@ -1,0 +1,113 @@
+"""Vectorized hashing kernels (numpy, no per-row Python).
+
+The reference hashes every id through seeded 64-bit farmhash
+(ref: src/common/hash_function.py:53-56, MAX_HASH_VALUE = 2**64-1 at :19).
+farmhash is not available in this environment, so the engine uses two
+public, deterministic alternatives with the same statistical contract
+(uniform 64-bit output, seedable):
+
+- ``splitmix64`` (Steele et al., public domain; the JDK SplittableRandom
+  finalizer) for integer ids inside numpy kernels — vectorized, branch-free.
+- Spark's JVM-side ``xxhash64`` for hashing arbitrary columns before they
+  enter a Python kernel (strings never cross into Python unhashed).
+
+For DuckDB-oracle parity queries we additionally define a *portable* hash
+``(a*x + b) mod p`` with p = 2^31 - 1 that is expressible in both Spark SQL
+and DuckDB SQL without 64-bit overflow (ANSI-safe), so sketch register
+tables can be compared value-for-value against a pure-SQL oracle.
+
+If the real ``farmhash`` package is importable, ``farmhash_or_none`` exposes
+it so parity tests against the reference can run bit-exact; otherwise those
+tests are skipped and parity is statistical (same error bounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # optional bit-parity with the reference's farmhash
+    import farmhash as _farmhash  # type: ignore
+except ImportError:  # pragma: no cover
+    _farmhash = None
+
+MAX_HASH_VALUE = 2**64 - 1  # ref: hash_function.py:19
+MERSENNE_31 = 2**31 - 1
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array.
+
+    Public-domain constants (Sebastiano Vigna). Seed is mixed in additively
+    with the golden-gamma increment so distinct seeds give independent hash
+    functions.
+    """
+    z = np.asarray(x, dtype=_U64) + _U64((seed * 0x9E3779B97F4A7C15) & MAX_HASH_VALUE)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit hash of an integer array → uint64.
+
+    Statistical stand-in for ``farmhash.hash64withseed(str(x), seed)``
+    (ref: hash_function.py:53-56).
+    """
+    v = np.asarray(values)
+    if v.dtype.kind in ("i", "u"):
+        return splitmix64(v.astype(np.int64).view(_U64), seed)
+    raise TypeError(f"hash64 expects integer arrays, got {v.dtype}")
+
+
+def bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(w))+1 per element for uint64 arrays (0 → 0).
+
+    Branch-free doubling search — float log2 is NOT exact above 2^53.
+    """
+    w = np.asarray(w, dtype=_U64)
+    n = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = _U64(shift)
+        big = v >= (_U64(1) << s)
+        n[big] += shift
+        v[big] >>= s
+    n[w > 0] += 1
+    return n
+
+
+def leading_zeros_in_window(w: np.ndarray, window_bits: int) -> np.ndarray:
+    """Number of leading zeros of ``w`` interpreted as a window_bits-wide int."""
+    return window_bits - bit_length_u64(w)
+
+
+def portable_hash_expr(col: str, a: int, b: int) -> str:
+    """SQL text of the portable hash, valid in Spark SQL *and* DuckDB.
+
+    h(x) = (a*x + b) mod (2^31-1), requires 0 <= x < 2^31 and a,b < 2^31-1
+    so a*x + b < 2^62 (no bigint overflow under ANSI mode).
+    """
+    return f"(({a} * CAST({col} AS BIGINT) + {b}) % {MERSENNE_31})"
+
+
+def portable_hash_np(x: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Numpy twin of :func:`portable_hash_expr` (int64, exact)."""
+    return (a * x.astype(np.int64) + b) % MERSENNE_31
+
+
+def derive_seeds(random_seed: int, n: int) -> np.ndarray:
+    """Deterministic stream of sub-seeds from a master seed.
+
+    Mirrors the reference's convention of drawing hash seeds from a seeded
+    RandomState (ref: any_sketch.py:343-348) without depending on
+    ``sys.maxsize`` platform width: uses splitmix64 of the counter.
+    """
+    return splitmix64(np.arange(n, dtype=np.uint64), seed=random_seed)
+
+
+def farmhash_or_none():
+    return _farmhash

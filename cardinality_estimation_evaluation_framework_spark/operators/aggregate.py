@@ -1,0 +1,250 @@
+"""Partial + tree-merge sketch aggregation (the treeAggregate-style core).
+
+The reference builds one sketch per set by streaming ids through ``add``
+(ref: simulator.py:167-171) in a single process. At 10^12 tokens the Spark
+equivalent is a two-phase aggregation that Catalyst cannot derive for Python
+UDAFs, so it is built explicitly (SURVEY §4):
+
+  stage 1 (map side)   : ``mapInPandas`` folds each input partition's Arrow
+                         batches into ONE partial state (or one per group
+                         key — a map-side combine), emitting O(m) bytes per
+                         partition instead of O(rows).
+  stage 2 (reduce side): iterative executor-side tree merge with fanout F —
+                         ``groupBy(gid % width).applyInPandas(merge)`` —
+                         until few enough partials remain to collect;
+                         the driver folds the rest. Depth = ceil(log_F P),
+                         driver traffic O(F * m), never O(P * m).
+
+Because every kernel's merge is associative + commutative, any partitioning
+and any tree shape produce bit-identical registers (tested in
+tests/test_associativity.py), mirroring the reference's merge contracts
+(ref: any_sketch.py:36-105, hyper_log_log.py:217-246).
+
+Scale notes (100 TB posture):
+- Raw rows are never shuffled for a global sketch: the only shuffle moves
+  packed states (KB each). For grouped sketches the shuffle moves
+  (#partitions x #groups) states, the minimum possible for a hash agg.
+- Value skew is neutralized by the map-side combine (a partition with 10^9
+  repeats of one key still emits one state). Input-placement skew is
+  handled by an optional pre-repartition (``input_partitions``); Spark AQE
+  handles the rest.
+- Strings are hashed to int64 by JVM-side xxhash64 *before* entering
+  Python, so Arrow transfers 8 bytes/row and kernels stay numeric.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cardinality_estimation_evaluation_framework_spark.sketches.base import (
+    SketchKernel,
+    State,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [StructField("gid", LongType()), StructField("sketch", BinaryType())]
+)
+
+
+def items_column(df: DataFrame, col: str) -> DataFrame:
+    """Project ``col`` to a single int64 ``item`` column, hashing strings
+    JVM-side (xxhash64) so Python kernels only ever see integers."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("string", "binary"):
+        c = F.xxhash64(c)
+    elif dtype.startswith("array"):
+        raise ValueError("explode arrays before sketching (use explode_tokens)")
+    return df.select(c.cast("long").alias("item"))
+
+
+def explode_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """tokens array<int32> → one int64 ``item`` per token (Catalyst explode,
+    whole-stage codegen; no Python involved)."""
+    return df.select(F.explode(F.col(tokens_col)).alias("_t")).select(
+        F.col("_t").cast("long").alias("item")
+    )
+
+
+def sketch_partials(
+    df: DataFrame,
+    kernel: SketchKernel,
+    col: str = "item",
+    input_partitions: int | None = None,
+) -> DataFrame:
+    """Stage 1: one packed partial state per input partition."""
+    items = items_column(df, col)
+    nparts = items.rdd.getNumPartitions()
+    if input_partitions:
+        items = items.repartition(input_partitions)
+    elif nparts < (default_par := items.sparkSession.sparkContext.defaultParallelism):
+        # a 100 TB scan arrives with thousands of splits; a local single-file
+        # read arrives with one — spread it so stage 1 uses every core
+        items = items.repartition(default_par)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = kernel.empty()
+        saw = False
+        for pdf in batches:
+            vals = pdf["item"].to_numpy(dtype=np.int64, na_value=0)
+            kernel.update(state, vals)
+            saw = True
+        if saw:
+            ctx = TaskContext.get()
+            gid = ctx.partitionId() if ctx is not None else 0
+            yield pd.DataFrame({"gid": [gid], "sketch": [kernel.pack(state)]})
+
+    return items.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+
+
+def _merge_fn(kernel: SketchKernel):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = kernel.merge_packed(list(pdf["sketch"]))
+        return pd.DataFrame({"gid": [int(pdf["gid"].iloc[0])], "sketch": [merged]})
+
+    return merge
+
+
+def tree_merge(
+    partials: DataFrame,
+    kernel: SketchKernel,
+    fanout: int = 32,
+    collect_threshold: int = 64,
+) -> State:
+    """Stage 2: executor-side tree reduction, then a short driver fold.
+
+    The number of partials is bounded by the stage-1 partition count, which
+    is known WITHOUT an action — so the whole tree is planned lazily and the
+    input is scanned exactly once (a ``count()`` here would recompute the
+    expensive stage 1 per level).
+    """
+    cur = partials
+    n = partials.rdd.getNumPartitions()
+    while n > collect_threshold:
+        width = max(1, math.ceil(n / fanout))
+        cur = (
+            cur.withColumn("gid", F.pmod(F.col("gid"), F.lit(width)))
+            .groupBy("gid")
+            .applyInPandas(_merge_fn(kernel), schema=_PARTIAL_SCHEMA)
+        )
+        n = width
+    rows = cur.collect()
+    if not rows:
+        return kernel.empty()
+    spec_checked = kernel.merge_packed([r["sketch"] for r in rows])
+    return kernel.unpack(spec_checked)
+
+
+def sketch(
+    df: DataFrame,
+    kernel: SketchKernel,
+    col: str = "item",
+    input_partitions: int | None = None,
+    fanout: int = 32,
+) -> State:
+    """Full pipeline: df[col] → merged sketch state on the driver."""
+    return tree_merge(
+        sketch_partials(df, kernel, col, input_partitions), kernel, fanout
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped sketches: one sketch per key (e.g. per source / per campaign).
+# --------------------------------------------------------------------------
+
+def grouped_sketch_partials(
+    df: DataFrame, kernel: SketchKernel, key_cols: list[str], col: str
+) -> DataFrame:
+    """Map-side combine: per (input partition, key) partial states."""
+    dtype = dict(df.dtypes)[col]
+    item = F.col(col)
+    if dtype in ("string", "binary"):
+        item = F.xxhash64(item)
+    proj = df.select(*key_cols, item.cast("long").alias("item"))
+    default_par = proj.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < default_par:
+        proj = proj.repartition(default_par)
+    out_schema = StructType(
+        [proj.schema[k] for k in key_cols] + [StructField("sketch", BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, State] = {}
+        for pdf in batches:
+            vals = pdf["item"].to_numpy(dtype=np.int64, na_value=0)
+            keys = pd.MultiIndex.from_frame(pdf[key_cols])
+            # vectorized per-key split: sort by key codes, slice runs
+            codes, uniq = pd.factorize(keys, sort=False)
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            sorted_vals = vals[order]
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sorted_codes)]))
+            for s, e in zip(starts, ends):
+                if s == e:
+                    continue
+                key = uniq[sorted_codes[s]]
+                key = key if isinstance(key, tuple) else (key,)
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = kernel.empty()
+                kernel.update(st, sorted_vals[s:e])
+        if states:
+            rows = {k: [key[i] for key in states] for i, k in enumerate(key_cols)}
+            rows["sketch"] = [kernel.pack(st) for st in states.values()]
+            yield pd.DataFrame(rows)
+
+    return proj.mapInPandas(build, schema=out_schema)
+
+
+def grouped_sketch(
+    df: DataFrame, kernel: SketchKernel, key_cols: list[str], col: str = "item"
+) -> DataFrame:
+    """DataFrame of (key_cols..., sketch binary), one merged state per key."""
+    partials = grouped_sketch_partials(df, kernel, key_cols, col)
+    schema = partials.schema
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = kernel.merge_packed(list(pdf["sketch"]))
+        out = pdf.iloc[[0]][key_cols].copy()
+        out["sketch"] = [merged]
+        return out
+
+    return partials.groupBy(*key_cols).applyInPandas(merge, schema=schema)
+
+
+def grouped_estimate(
+    sketches_df: DataFrame,
+    kernel: SketchKernel,
+    key_cols: list[str],
+    value_name: str = "estimate",
+) -> DataFrame:
+    """Apply kernel.estimate per key (first histogram level if list)."""
+    fields = [sketches_df.schema[k] for k in key_cols]
+    schema = StructType(fields + [StructField(value_name, DoubleType())])
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                float(kernel.estimate(kernel.unpack(bytes(raw)))[0])
+                for raw in pdf["sketch"]
+            ]
+            out = pdf[key_cols].copy()
+            out[value_name] = vals
+            yield out
+
+    return sketches_df.mapInPandas(est, schema=schema)
