@@ -17,11 +17,24 @@ from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from cardinality_estimation_evaluation_framework_spark.datagen import tokens as tk
 from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
+from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
+    CountMinKernel,
+)
 from cardinality_estimation_evaluation_framework_spark.sketches.hll import (
     PortableHllKernel,
 )
+from cardinality_estimation_evaluation_framework_spark.sketches.kll import KllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
+    TDigestKernel,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.vector_of_counts import (
+    VocKernel,
+)
 
 _PORTABLE_HLL = dict(p=10, a=1103515245, b=12345)
+_PORTABLE_VOC = dict(num_buckets=256, seed=99, portable=True)
+_PORTABLE_CM = dict(width=512, depth=3, seed=0, portable=True)
+_QUANTILE_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +103,94 @@ def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_voc_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed VectorOfCounts build (portable hash) over distinct tokens,
+    emitted as the (bucket, cnt) vector (ref: vector_of_counts.py:103-129)."""
+    kernel = VocKernel(**_PORTABLE_VOC)
+    tids = (
+        tk.token_ids_exploded(_docs(spark, sf_dir))
+        .select(F.col("tid").alias("item"))
+        .distinct()
+    )
+    state = agg.sketch(tids, kernel)
+    rows = [
+        Row(bucket=int(i), cnt=int(c))
+        for i, c in enumerate(state["stats"].tolist())
+        if c > 0
+    ]
+    return spark.createDataFrame(rows, schema="bucket int, cnt int")
+
+
+def q_countmin_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed count-min build (portable hashes) over ALL token
+    occurrences (multiset), emitted as (row, bucket, cnt)."""
+    kernel = CountMinKernel(**_PORTABLE_CM)
+    tids = tk.token_ids_exploded(_docs(spark, sf_dir)).select(
+        F.col("tid").alias("item")
+    )
+    state = agg.sketch(tids, kernel)
+    rows = [
+        Row(r=int(r), bucket=int(b), cnt=int(state["table"][r, b]))
+        for r in range(kernel.depth)
+        for b in range(kernel.width)
+        if state["table"][r, b] > 0
+    ]
+    return spark.createDataFrame(rows, schema="r int, bucket int, cnt int")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KLL quantile sketch over lineitem.l_extendedprice.
+
+    No SQL oracle (compaction is sampling-based); accuracy is bound-checked
+    in pytest (rank error <= eps) — the driver records a rows-only check."""
+    k = KllKernel(k=200, seed=11)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    state = agg.sketch(li, k, col="l_extendedprice")
+    vals = k.quantile(state, _QUANTILE_QS)
+    rows = [Row(q=float(q), value=float(v)) for q, v in zip(_QUANTILE_QS, vals)]
+    return spark.createDataFrame(rows, schema="q double, value double")
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed t-digest over lineitem.l_extendedprice (rows-only check)."""
+    k = TDigestKernel(delta=200)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    state = agg.sketch(li, k, col="l_extendedprice")
+    vals = k.quantile(state, _QUANTILE_QS)
+    rows = [Row(q=float(q), value=float(v)) for q, v in zip(_QUANTILE_QS, vals)]
+    return spark.createDataFrame(rows, schema="q double, value double")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation over the events table (the batch
+    twin of the streaming path)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy agg (analyzer-style mean/sum, ref:
+    simulator.py:75-83 pattern); floats rounded for cross-engine equality."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed portable-HLL register table on sf0.001."""
     return q_hll_register_table(spark, "/root/testdata/sf0.001")
@@ -102,6 +203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kplus_reach": q_kplus_reach,
         "hll_register_table": q_hll_register_table,
         "doc_stats_by_source": q_doc_stats_by_source,
+        "voc_register_table": q_voc_register_table,
+        "countmin_register_table": q_countmin_register_table,
+        "kll_quantiles": q_kll_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
     }
 
 
@@ -113,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
     toks = f"WITH {tk.TOKENS_CTE_DUCKDB}"
     vocab = f"WITH {tk.TOKENS_CTE_DUCKDB}, {tk.VOCAB_CTE_DUCKDB}"
     hll = PortableHllKernel(**_PORTABLE_HLL)
+    voc = VocKernel(**_PORTABLE_VOC)
+    cm = CountMinKernel(**_PORTABLE_CM)
     return {
         "reach_by_source": (
             f"{toks} SELECT source, count(DISTINCT tok) AS reach "
@@ -140,5 +249,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_source": (
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "avg(n_chars) AS avg_chars FROM documents GROUP BY source"
+        ),
+        "voc_register_table": (
+            f"{vocab} SELECT bucket, CAST(count(*) AS INT) AS cnt FROM ("
+            f"  SELECT {voc.bucket_sql('tid')} AS bucket FROM vocab"
+            ") GROUP BY bucket"
+        ),
+        "countmin_register_table": (
+            f"{vocab}, occ AS ("
+            "  SELECT vocab.tid FROM toks JOIN vocab USING (tok))"
+            + " UNION ALL ".join(
+                f" SELECT {r} AS r, bucket, CAST(count(*) AS INT) AS cnt FROM ("
+                f"   SELECT {cm.row_bucket_sql('tid', r)} AS bucket FROM occ"
+                f" ) GROUP BY bucket"
+                for r in range(cm.depth)
+            )
+        ),
+        "events_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "event_type, count(*) AS n_events FROM events "
+            "GROUP BY 1, 2"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
         ),
     }

@@ -59,15 +59,18 @@ _PARTIAL_SCHEMA = StructType(
 )
 
 
-def items_column(df: DataFrame, col: str) -> DataFrame:
-    """Project ``col`` to a single int64 ``item`` column, hashing strings
-    JVM-side (xxhash64) so Python kernels only ever see integers."""
+def items_column(df: DataFrame, col: str, input_dtype: str = "int64") -> DataFrame:
+    """Project ``col`` to a single ``item`` column of the kernel's input
+    dtype. Id sketches get int64 (strings hashed JVM-side via xxhash64 so
+    Python never sees raw strings); value sketches (quantiles) get float64."""
     dtype = dict(df.dtypes)[col]
     c = F.col(col)
+    if dtype.startswith("array"):
+        raise ValueError("explode arrays before sketching (use explode_tokens)")
+    if input_dtype == "float64":
+        return df.select(c.cast("double").alias("item"))
     if dtype in ("string", "binary"):
         c = F.xxhash64(c)
-    elif dtype.startswith("array"):
-        raise ValueError("explode arrays before sketching (use explode_tokens)")
     return df.select(c.cast("long").alias("item"))
 
 
@@ -86,7 +89,7 @@ def sketch_partials(
     input_partitions: int | None = None,
 ) -> DataFrame:
     """Stage 1: one packed partial state per input partition."""
-    items = items_column(df, col)
+    items = items_column(df, col, getattr(kernel, "input_dtype", "int64"))
     nparts = items.rdd.getNumPartitions()
     if input_partitions:
         items = items.repartition(input_partitions)
@@ -95,11 +98,13 @@ def sketch_partials(
         # read arrives with one — spread it so stage 1 uses every core
         items = items.repartition(default_par)
 
+    np_dtype = np.float64 if getattr(kernel, "input_dtype", "int64") == "float64" else np.int64
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state = kernel.empty()
         saw = False
         for pdf in batches:
-            vals = pdf["item"].to_numpy(dtype=np.int64, na_value=0)
+            vals = pdf["item"].to_numpy(dtype=np_dtype, na_value=0)
             kernel.update(state, vals)
             saw = True
         if saw:

@@ -79,6 +79,10 @@ class SketchKernel(ABC):
     #: on the driver in canonical order (SURVEY §4 note).
     associative: bool = True
 
+    #: numpy dtype update() expects: "int64" for id sketches (strings are
+    #: xxhash64'd JVM-side), "float64" for value sketches (quantiles).
+    input_dtype: str = "int64"
+
     @abstractmethod
     def spec(self) -> dict[str, Any]:
         """JSON-able config; equality defines merge compatibility."""
