@@ -1,0 +1,153 @@
+"""StratifiedSketch: one cardinality sketch per frequency level.
+
+Reference semantics (ref: stratified_sketch.py:120-236): buffer a multiset,
+then freeze into sketches {1, 2, .., max_freq-1, 'max+', '1+'} where level k
+holds ids with frequency exactly k (capped at max_freq) and '1+' is either
+the union of levels or built from the underlying set.
+
+Spark build (the scalable part): ONE pass — ``groupBy(id).count()`` →
+``level = least(freq, max_freq)`` → grouped sketch aggregation keyed by
+level. The per-level sketches come back as a dict of states; '1+' is the
+sketch-space union of levels (epsilon_split=0 path).
+
+Merge of two stratified sketches is the frequency-convolution over a
+pluggable sketch operator (ref: stratified_sketch.py:408-476) — driver-side
+(max_freq^2 tiny vector ops), deliberately not distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
+from cardinality_estimation_evaluation_framework_spark.sketches.base import (
+    SketchKernel,
+    State,
+)
+
+ONE_PLUS = "1+"
+
+
+class StratifiedSketch:
+    """Driver-side container: level -> sketch state."""
+
+    def __init__(self, kernel: SketchKernel, max_freq: int, sketches: dict[str, State]):
+        self.kernel = kernel
+        self.max_freq = max_freq
+        self.sketches = sketches  # keys: "1".."max_freq-1", f"{max_freq}+", "1+"
+
+    @property
+    def max_key(self) -> str:
+        return f"{self.max_freq}+"
+
+    def level_keys(self) -> list[str]:
+        return [str(k) for k in range(1, self.max_freq)] + [self.max_key]
+
+    def assert_compatible(self, other: "StratifiedSketch") -> None:
+        assert self.max_freq == other.max_freq, "max_freq mismatch"
+        assert self.kernel.spec() == other.kernel.spec(), "kernel spec mismatch"
+
+
+def build_stratified(
+    df: DataFrame,
+    kernel: SketchKernel,
+    max_freq: int,
+    id_col: str = "item",
+) -> StratifiedSketch:
+    """Distributed one-pass build (ref semantics: stratified_sketch.py:152-214).
+
+    groupBy(id).count() → level bucket → one grouped-sketch agg keyed by
+    level. Ids reaching a sketch are distinct by construction (cardinality
+    sketches get each id once, like the reference's add_ids per level).
+    """
+    freq = df.groupBy(id_col).agg(F.count("*").alias("freq"))
+    leveled = freq.select(
+        F.when(F.col("freq") >= max_freq, F.lit(f"{max_freq}+"))
+        .otherwise(F.col("freq").cast("string"))
+        .alias("level"),
+        F.col(id_col).alias("item"),
+    )
+    rows = agg.grouped_sketch(leveled, kernel, ["level"], "item").collect()
+    sketches = {r["level"]: kernel.unpack(bytes(r["sketch"])) for r in rows}
+    for key in [str(k) for k in range(1, max_freq)] + [f"{max_freq}+"]:
+        sketches.setdefault(key, kernel.empty())
+    # 1+ = union of all levels (epsilon_split == 0 path,
+    # ref: stratified_sketch.py:174-183)
+    one_plus = None
+    for key in list(sketches.keys()):
+        one_plus = sketches[key] if one_plus is None else kernel.merge(one_plus, sketches[key])
+    sketches[ONE_PLUS] = one_plus
+    return StratifiedSketch(kernel, max_freq, sketches)
+
+
+class StratifiedPairwiseEstimator:
+    """Frequency-convolution merge + per-level estimation
+    (ref: stratified_sketch.py:408-513)."""
+
+    def __init__(self, sketch_operator, cardinality_estimator: Callable[[State], float]):
+        self.op = sketch_operator
+        self.estimate_one = cardinality_estimator
+
+    def merge_sketches(self, this: StratifiedSketch, that: StratifiedSketch) -> StratifiedSketch:
+        this.assert_compatible(that)
+        mf = this.max_freq
+        mk = this.max_key
+        a, b = this.sketches, that.sketches
+        out: dict[str, State] = {}
+        for k in range(1, mf):
+            # A(k) & B(0) = A(k) - (A(k) ∩ B(1+))
+            merged = self.op.difference(
+                a[str(k)], self.op.intersection(a[str(k)], b[ONE_PLUS])
+            )
+            # ∪ B(k) & A(0)
+            merged = self.op.union(
+                merged,
+                self.op.difference(
+                    b[str(k)], self.op.intersection(a[ONE_PLUS], b[str(k)])
+                ),
+            )
+            # ∪_{i=1..k-1} A(i) ∩ B(k-i)
+            for i in range(1, k):
+                merged = self.op.union(
+                    merged, self.op.intersection(a[str(i)], b[str(k - i)])
+                )
+            out[str(k)] = merged
+        # Merged(max+) (ref: stratified_sketch.py:455-466)
+        merged = a[mk]
+        rest = b[ONE_PLUS]
+        for k in range(1, mf):
+            merged = self.op.union(
+                merged, self.op.intersection(a[str(mf - k)], rest)
+            )
+            rest = self.op.difference(rest, b[str(k)])
+        merged = self.op.union(
+            merged,
+            self.op.difference(b[mk], self.op.intersection(b[mk], a[ONE_PLUS])),
+        )
+        out[mk] = merged
+        # Merged(1+) = union of all levels
+        one_plus = None
+        for k in range(1, mf):
+            one_plus = self.op.union(one_plus, out[str(k)])
+        out[ONE_PLUS] = self.op.union(one_plus, out[mk])
+        return StratifiedSketch(this.kernel, mf, out)
+
+    def estimate_cardinality(self, s: StratifiedSketch) -> list[float]:
+        """k+ histogram: reversed cumsum of per-level estimates
+        (ref: stratified_sketch.py:478-513)."""
+        per_level = [self.estimate_one(s.sketches[str(k)]) for k in range(1, s.max_freq)]
+        per_level.append(self.estimate_one(s.sketches[s.max_key]))
+        return [float(x) for x in np.cumsum(per_level[::-1])[::-1]]
+
+
+def stratified_sequential_estimate(
+    sketches: list[StratifiedSketch], estimator: StratifiedPairwiseEstimator
+) -> list[float]:
+    """functools.reduce of pairwise merges (ref: stratified_sketch.py:516-534)."""
+    cur = sketches[0]
+    for s in sketches[1:]:
+        cur = estimator.merge_sketches(cur, s)
+    return estimator.estimate_cardinality(cur)
