@@ -1,0 +1,147 @@
+"""Config dataclasses + named evaluation configs.
+
+ref: src/evaluations/configs.py:17-81 (SketchEstimatorConfig /
+ScenarioConfig / EvaluationConfig) and
+src/evaluations/data/evaluation_configs.py:134-195 (smoke_test scenarios:
+independent, remarketing(subset), fully_overlapping, sequentially
+correlated all/one — universe 200k, set size 40k (20k for seq-corr),
+20 sets, shared_prop 0.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from cardinality_estimation_evaluation_framework_spark.datagen import set_generators as sg
+
+SKETCH_ESTIMATOR_NAME_FORMAT = "{sketch}-{config}-{estimator}-{local_dp}-{global_dp}"
+
+
+@dataclass
+class SketchEstimatorConfig:
+    """Unit of evaluation (ref: configs.py:17-48).
+
+    estimator: callable (kernel, list[State]) -> list[float] (k+ histogram).
+    """
+
+    name: str
+    kernel_factory: Callable[[int], Any]
+    estimator: Callable[[Any, list], list]
+    sketch_noiser: Callable | None = None  # (kernel, state, rng) -> state
+    estimate_noiser: Callable | None = None  # (rng) -> noiser(float)->float
+    max_frequency: int = 1
+
+
+@dataclass
+class ScenarioConfig:
+    """ref: configs.py:51-60."""
+
+    name: str
+    set_generator_factory: Callable[[np.random.RandomState], Any]
+
+
+@dataclass
+class EvaluationConfig:
+    """ref: configs.py:63-81."""
+
+    name: str
+    num_runs: int
+    scenario_config_list: list[ScenarioConfig] = field(default_factory=list)
+
+
+def smoke_test(num_runs: int = 100, universe_size: int = 200_000,
+               num_sets: int = 20, set_size: int = 40_000) -> EvaluationConfig:
+    """The reference's smoke_test grid
+    (ref: evaluation_configs.py:134-195)."""
+    seq_set_size = set_size // 2
+    return EvaluationConfig(
+        name="smoke_test",
+        num_runs=num_runs,
+        scenario_config_list=[
+            ScenarioConfig(
+                "independent",
+                sg.IndependentSetGenerator.factory_with_num_and_size(
+                    universe_size, num_sets, set_size
+                ),
+            ),
+            ScenarioConfig(
+                "remarketing",
+                sg.IndependentSetGenerator.factory_with_num_and_size(
+                    int(universe_size * 0.2), num_sets, set_size
+                ),
+            ),
+            ScenarioConfig(
+                "fully_overlapping",
+                sg.FullyOverlapSetGenerator.factory_with_num_and_size(
+                    universe_size, num_sets, set_size
+                ),
+            ),
+            ScenarioConfig(
+                "sequentially_correlated_all",
+                sg.SequentiallyCorrelatedSetGenerator.factory_with_num_and_size(
+                    sg.ORDER_ORIGINAL, sg.CORRELATED_ALL, 0.3, num_sets, seq_set_size
+                ),
+            ),
+            ScenarioConfig(
+                "sequentially_correlated_one",
+                sg.SequentiallyCorrelatedSetGenerator.factory_with_num_and_size(
+                    sg.ORDER_ORIGINAL, sg.CORRELATED_ONE, 0.3, num_sets, seq_set_size
+                ),
+            ),
+        ],
+    )
+
+
+def frequency_smoke_test(num_runs: int = 100, universe_size: int = 200_000,
+                         num_sets: int = 3, set_size: int = 10_000) -> EvaluationConfig:
+    """ref: evaluation_configs.py:198-237 (homogeneous / heterogeneous /
+    publisher-constant frequency scenarios)."""
+    return EvaluationConfig(
+        name="frequency_smoke_test",
+        num_runs=num_runs,
+        scenario_config_list=[
+            ScenarioConfig(
+                "homogeneous",
+                lambda rs: sg.HomogeneousMultiSetGenerator(
+                    universe_size, [set_size] * num_sets, [2.0] * num_sets, rs, freq_cap=10
+                ),
+            ),
+            ScenarioConfig(
+                "heterogeneous",
+                lambda rs: sg.HeterogeneousMultiSetGenerator(
+                    universe_size, [set_size] * num_sets, [(1.0, 1.0)] * num_sets, rs, freq_cap=10
+                ),
+            ),
+            ScenarioConfig(
+                "publisher_constant_frequency",
+                lambda rs: sg.PublisherConstantFrequencySetGenerator(
+                    universe_size, [set_size] * num_sets, 3, rs
+                ),
+            ),
+        ],
+    )
+
+
+def global_dp_stress_test(num_runs: int = 100) -> EvaluationConfig:
+    """Disjoint sets of growing reach (ref: evaluation_configs.py:738-755)."""
+    return EvaluationConfig(
+        name="global_dp_stress_test",
+        num_runs=num_runs,
+        scenario_config_list=[
+            ScenarioConfig(
+                f"disjoint_reach_{int(size)}",
+                sg.DisjointSetGenerator.factory_with_num_and_size(10, int(size)),
+            )
+            for size in (1e3, 1e4, 1e5)
+        ],
+    )
+
+
+EVALUATION_CONFIGS = {
+    "smoke_test": smoke_test,
+    "frequency_smoke_test": frequency_smoke_test,
+    "global_dp_stress_test": global_dp_stress_test,
+}
