@@ -27,6 +27,11 @@ from cardinality_estimation_evaluation_framework_spark.sketches.kll import KllKe
 from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
     TDigestKernel,
 )
+from cardinality_estimation_evaluation_framework_spark.operators import (
+    dedup as dedup_ops,
+    similarity as sim_ops,
+    text as text_ops,
+)
 from cardinality_estimation_evaluation_framework_spark.sketches.vector_of_counts import (
     VocKernel,
 )
@@ -161,6 +166,102 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="q double, value double")
 
 
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + per-source aggregation (training-data pipeline op)."""
+    docs = _docs(spark, sf_dir)
+    scored = text_ops.with_quality_score(docs)
+    return scored.groupBy("source").agg(
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID, counts per predicted language."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.with_lang_id(docs).groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, totals per source."""
+    docs = _docs(spark, sf_dir)
+    counted = text_ops.with_token_counts(docs)
+    return counted.groupBy("source").agg(
+        F.sum("n_tok_ws").cast("long").alias("total_ws"),
+        F.sum("n_tok_bpe").cast("long").alias("total_bpe"),
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via normalized-text md5 (hash-groupBy)."""
+    return dedup_ops.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs on a deterministic doc
+    subsample (the verification path; MinHash-LSH is the scale path)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    return dedup_ops.ngram_jaccard_pairs(docs, n=3, threshold=0.01)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (>= 0.99) on a deterministic
+    subsample."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    return dedup_ops.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus with planted near-duplicates (the synthetic docs
+    have no natural near-dups, so the dedup queries would be vacuous):
+    every doc_id % 50 == 0 gets a copy with a one-word edit."""
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    copies = base.select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return base.union(copies)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over planted duplicates (scale path;
+    accuracy verified against the exact Jaccard gate in pytest — rows-only
+    here, signatures are seeded-random)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return dedup_ops.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over planted duplicates, chunk-LSH bucketed
+    (rows-only)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=10)
+
+
+def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine retrieval above a threshold for a fixed query
+    vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vector(spark, sf_dir)
+    return sim_ops.brute_force_threshold(emb, q, threshold=0.35)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window batch aggregation over the events table (the batch
     twin of the streaming path)."""
@@ -209,6 +310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": q_tdigest_quantiles,
         "events_hourly": q_events_hourly,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "text_quality_by_source": q_text_quality_by_source,
+        "lang_id_counts": q_lang_id_counts,
+        "token_count_stats": q_token_count_stats,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "similarity_search": q_similarity_search,
     }
 
 
@@ -222,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
     hll = PortableHllKernel(**_PORTABLE_HLL)
     voc = VocKernel(**_PORTABLE_VOC)
     cm = CountMinKernel(**_PORTABLE_CM)
+    tc_sql = text_ops.token_counts_sql("text")
     return {
         "reach_by_source": (
             f"{toks} SELECT source, count(DISTINCT tok) AS reach "
@@ -278,4 +389,63 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "text_quality_by_source": (
+            f"SELECT source, round(avg({text_ops.quality_score_sql('text')}), 6)"
+            " AS avg_quality, count(*) AS n_docs FROM documents GROUP BY source"
+        ),
+        "lang_id_counts": (
+            f"SELECT {text_ops.lang_id_sql('text')} AS lang_pred, count(*) AS n_docs"
+            " FROM documents GROUP BY 1"
+        ),
+        "token_count_stats": (
+            f"SELECT source, CAST(sum({tc_sql['n_tok_ws']}) AS BIGINT) AS total_ws,"
+            f" CAST(sum({tc_sql['n_tok_bpe']}) AS BIGINT) AS total_bpe"
+            " FROM documents GROUP BY source"
+        ),
+        "exact_dup_groups": (
+            f"SELECT {text_ops.fingerprint_sql('text')} AS fingerprint,"
+            " count(*) AS n_dups, min(CAST(doc_id AS VARCHAR)) AS keep_id"
+            " FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "ngram_jaccard_pairs": (
+            dedup_ops.ngram_jaccard_pairs_sql(n=3, threshold=0.01).replace(
+                "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 50 = 0)"
+            )
+        ),
+        "embedding_near_dup": """
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 300
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+""",
+        "similarity_search": """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+qn AS (SELECT sqrt(sum(x * x)) AS nrm FROM q),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+scored AS (
+  SELECT ev.vec_id,
+         sum(ev.x * q.x) / (sqrt(sum(ev.x * ev.x)) * (SELECT nrm FROM qn)) AS c
+  FROM ev JOIN q ON ev.i = q.i
+  GROUP BY ev.vec_id
+)
+SELECT vec_id, round(c, 6) AS cosine FROM scored WHERE round(c, 6) >= 0.35
+""",
     }

@@ -1,0 +1,352 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB posture):
+- exact dedup: hash-groupBy on a fingerprint — one shuffle of (hash, id).
+- n-gram Jaccard: the EXACT pairwise form (gram self-join) is the oracle /
+  small-scale path; the production path is MinHash+LSH which turns the
+  quadratic join into a band-bucket equi-join (shuffle keyed on
+  (band, bucket-signature)) followed by exact verification of candidates.
+- SimHash: 64-bit signature per doc (one pass), near-dup = hamming <= k
+  within LSH buckets on signature chunks.
+- embedding cosine: exact pair join for the gate; LSH hyperplane buckets as
+  the ANN path (operators/similarity.py).
+
+Everything below the signature computation is built-in DataFrame ops so
+Catalyst plans the joins; signatures themselves are Arrow-vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.hashing import splitmix64
+from cardinality_estimation_evaluation_framework_spark.operators.text import (
+    with_fingerprint,
+)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, keep_id): groups with > 1 doc; keep the min id.
+    One hash-groupBy — linear, shuffle on the md5 only."""
+    fp = with_fingerprint(docs, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(F.col(id_col).cast("string")).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint."""
+    fp = with_fingerprint(docs, text_col)
+    w = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(F.col(id_col).cast("string"))
+    )
+    return fp.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# word n-grams + exact Jaccard (oracle / verification path)
+# --------------------------------------------------------------------------
+
+def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, gram) — distinct word n-grams, pure Catalyst."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    doc = docs.select(F.col(id_col).cast("string").alias("doc_id"), words.alias("w"))
+    grams = doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("gram"),
+    )
+    return grams.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= t).
+
+    gram self-join → |∩| per pair → |∪| = |A|+|B|-|∩|. Quadratic in the
+    worst case — this is the verification/oracle path; LSH below prunes
+    candidates at scale."""
+    grams = word_ngrams(docs, n, text_col, id_col)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("gb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("ga") + F.col("gb") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """DuckDB oracle twin of ngram_jaccard_pairs over the documents view."""
+    return f"""
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+    FROM words WHERE len(w) >= {n}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
+                       seed: int = 0, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<long>): minhash over word n-gram hashes.
+
+    Grams are hashed JVM-side (xxhash64); the per-doc min over k seeded
+    remixes runs as one Arrow batch kernel (splitmix64 per hash index —
+    O(grams x k) numpy, no per-row Python).
+    """
+    grams = word_ngrams(docs, n, text_col, id_col).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+
+    def per_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
+            gh = pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
+            sigs = np.full((len(uniq), num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+            for k in range(num_hashes):
+                hk = splitmix64(gh, seed * 1_000_003 + k).view(np.int64)
+                np.minimum.at(sigs[:, k], codes, hk)
+            yield pd.DataFrame({"doc_id": uniq, "sig": list(sigs)})
+
+    # partial per partition then re-merge per doc (mins combine associatively)
+    partial = grams.repartition("doc_id").mapInPandas(
+        per_batch, schema="doc_id string, sig array<long>"
+    )
+    return partial.groupBy("doc_id").agg(
+        F.array(*[F.min(F.col("sig")[i]) for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
+                           rows_per_band: int = 4) -> DataFrame:
+    """Band the signature; candidates = pairs sharing any band bucket.
+    The quadratic join becomes an equi-join on (band, bucket)."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int = 64,
+                        bands: int = 16, n: int = 3, seed: int = 0) -> DataFrame:
+    """LSH candidates verified by exact signature agreement rate (an unbiased
+    Jaccard estimate)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, seed)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """(doc_id, simhash long): sign-sum of token-hash bit columns — one
+    Arrow kernel over exploded tokens."""
+    words = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("th"))
+
+    def per_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
+            th = splitmix64(pdf["th"].to_numpy(dtype=np.int64).view(np.uint64), seed)
+            acc = np.zeros((len(uniq), 64), dtype=np.int64)
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            signs = bits * 2 - 1
+            np.add.at(acc, codes, signs)
+            sig = (acc > 0).astype(np.uint64)
+            packed = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1).view(np.int64)
+            yield pd.DataFrame({"doc_id": uniq, "acc": list(acc), "sim": packed})
+
+    partial = words.repartition("doc_id").mapInPandas(
+        per_batch, schema="doc_id string, acc array<long>, sim long"
+    )
+    # merge partials: sum bit-accumulators per doc, then re-pack
+    merged = partial.groupBy("doc_id").agg(
+        F.array(*[F.sum(F.col("acc")[i]) for i in range(64)]).alias("acc")
+    )
+    pack = sum(
+        (F.when(F.col("acc")[i] > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i if i < 63 else -(2**63)))
+        for i in range(64)
+    )
+    return merged.select("doc_id", pack.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           seed: int = 0) -> DataFrame:
+    """Near-dup pairs by hamming distance on simhash, LSH-bucketed on 16-bit
+    chunks (a pair within hamming<=3 shares at least one of 4 chunks)."""
+    sigs = simhash_signatures(docs, text_col, id_col, seed)
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (exact pair form; ANN path in similarity.py)
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine pairs >= threshold (JVM-side zip_with/aggregate math)."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        vd.alias("v"),
+        norm.alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct
+(modality, width/height or sample_rate, codec). The Spark-side plumbing —
+schema, partition sizing, Arrow batch shapes, mapInPandas signatures — is
+real and tested; the actual codec decode is STUBBED (no imaging/audio libs
+in this environment): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector from the payload bytes so downstream operators (dedup, ANN) can be
+exercised end-to-end.
+
+Batch-size note (100 TB posture): binary payloads dominate Arrow batch
+memory, so the reader caps ``maxRecordsPerBatch`` via bytes_per_batch /
+payload estimate rather than row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def synthesize_media_df(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Derive a deterministic fake media table from the documents table
+    (payload = utf-8 bytes of the text) so plumbing is testable without
+    binary fixtures."""
+    return docs.select(
+        F.concat(F.lit(f"{modality}_"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit("fake").alias("codec"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16) -> np.ndarray:
+    """Decode + feature-extract one payload.
+
+    REAL decoding (PIL/libav/opencv) is not available in this environment —
+    the stub is the documented seam: swap this function for a real decoder
+    on a cluster image that ships the codec libs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"no {modality} codec libraries in this environment; "
+            "pass fake=True or plug a real decoder here"
+        )
+    b = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+    # deterministic fake features: moments of byte histogram chunks
+    chunks = np.array_split(b, feature_dim)
+    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(media: DataFrame, fake: bool = True, feature_dim: int = 16,
+                     bytes_per_batch: int = 64 << 20,
+                     est_payload_bytes: int = 1 << 20) -> DataFrame:
+    """mapInPandas feature extraction with payload-aware batch sizing."""
+    spark = media.sparkSession
+    max_records = max(16, bytes_per_batch // est_payload_bytes)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_stub(p, m, fake, feature_dim).tolist()
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10, fake: bool = True) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+    Frame decode itself goes through the same stub seam."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n_frames = max(1, len(r["payload"] or b"") // 1024)
+                for fi in range(0, n_frames, every_nth):
+                    if not fake:
+                        raise NotImplementedError("no video codec in this environment")
+                    rows.append((r["media_id"], fi, float(fi) / n_frames))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "ts_fraction"])
+
+    return media.where(F.col("modality") == "video").mapInPandas(
+        run, schema="media_id string, frame_index int, ts_fraction double"
+    )

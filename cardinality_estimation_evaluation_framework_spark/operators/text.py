@@ -1,0 +1,201 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path operators are pure Catalyst column expressions (whole-stage
+codegen, no Python); the rolling-hash fingerprint offers both a JVM-side
+variant (xxhash64 of the normalized text) and a true polynomial rolling
+hash as an Arrow-vectorized pandas UDF for byte-level control.
+
+Language ID is an n-gram/stopword-ratio heuristic: per-language stopword
+regex hit counts normalized by token count, argmax with a deterministic
+tie-break — expressible identically in ANSI SQL for the DuckDB oracle
+(``*_sql`` twins below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword sets (public common-word lists)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+WORD_RE = "[a-z0-9]+"
+# BPE-ish token pieces: runs of letters, runs of digits, or single punctuation
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _count_regex(col: Column, pattern: str) -> Column:
+    """Occurrences of pattern — via length-difference (portable to engines
+    without regexp_count)."""
+    return (
+        F.length(F.regexp_replace(col, pattern, "\x01"))
+        - F.length(F.regexp_replace(col, pattern, ""))
+    )
+
+
+def _count_regex_sql(col: str, pattern: str) -> str:
+    return (
+        f"(length(regexp_replace({col}, '{pattern}', chr(1), 'g'))"
+        f" - length(regexp_replace({col}, '{pattern}', '', 'g')))"
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace + BPE-ish token counts (pure Catalyst)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    bpe = _count_regex(t, BPE_RE)
+    return df.withColumn("n_tok_ws", ws.cast("int")).withColumn(
+        "n_tok_bpe", bpe.cast("int")
+    )
+
+
+def token_counts_sql(text_col: str = "text") -> dict[str, str]:
+    ws = (
+        f"CAST(len(list_filter(string_split_regex({text_col}, '\\s+'),"
+        f" x -> x <> '')) AS INT)"
+    )
+    return {"n_tok_ws": ws, "n_tok_bpe": f"CAST({_count_regex_sql(text_col, BPE_RE)} AS INT)"}
+
+
+def _lang_scores(t: Column) -> dict[str, Column]:
+    lowered = F.lower(t)
+    return {
+        lang: sum(
+            _count_regex(lowered, rf"\b{w}\b") for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID with deterministic tie-break (greatest
+    score wins; ties broken by language-name order via tuple compare)."""
+    scores = _lang_scores(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    expr = None
+    # argmax via chained CASE in fixed language order: strictly-greater wins,
+    # so the FIRST language in sorted order wins ties — same logic in SQL twin
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if expr is None:
+            expr, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn("lang_pred", expr)
+
+
+def lang_id_sql(text_col: str = "text") -> str:
+    langs = sorted(LANG_MARKERS)
+
+    def score(lang):
+        parts = [
+            _count_regex_sql(f"lower({text_col})", rf"\b{w}\b")
+            for w in LANG_MARKERS[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    expr, best = f"'{langs[0]}'", score(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + low punctuation ratio
+    + healthy mean word length + stopword presence. Pure Catalyst."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    n_punct = _count_regex(t, r"[^a-zA-Z0-9\s]")
+    stop_hits = sum(_count_regex(F.lower(t), rf"\b{w}\b") for w in LANG_MARKERS["en"])
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 100_000), 0.25).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.25).otherwise(0.0)
+    )
+    return df.withColumn("quality_score", F.round(score, 2))
+
+
+def quality_score_sql(text_col: str = "text") -> str:
+    n_chars = f"length({text_col})"
+    n_words = f"len(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> ''))"
+    n_punct = _count_regex_sql(text_col, r"[^a-zA-Z0-9\s]")
+    stop = " + ".join(
+        _count_regex_sql(f"lower({text_col})", rf"\b{w}\b") for w in LANG_MARKERS["en"]
+    )
+    return (
+        "round("
+        f"(CASE WHEN {n_chars} >= 50 AND {n_chars} <= 100000 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1) < 0.1 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN CAST({n_chars} AS DOUBLE) / greatest({n_words}, 1) >= 3"
+        f"        AND CAST({n_chars} AS DOUBLE) / greatest({n_words}, 1) <= 12 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN ({stop}) > 0 THEN 0.25 ELSE 0.0 END)"
+        ", 2)"
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (JVM-side; exact
+    oracle twin exists in any engine with md5)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(F.trim(norm)))
+
+
+def fingerprint_sql(text_col: str = "text") -> str:
+    return f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                             window: int = 16) -> DataFrame:
+    """True polynomial rolling-hash fingerprint (winnowing-style min over
+    rolling window hashes) as an Arrow-vectorized pandas UDF — the byte-level
+    control path the Catalyst md5 variant can't express."""
+
+    @F.pandas_udf("long")
+    def rolling_fp(texts: pd.Series) -> pd.Series:
+        base = np.uint64(1000003)
+        mod_mask = np.uint64(2**61 - 1)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts.fillna("")):
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+            if len(b) == 0:
+                continue
+            if len(b) < window:
+                h = np.uint64(0)
+                for ch in b:
+                    h = (h * base + ch) & mod_mask
+                out[i] = int(h)
+                continue
+            # rolling hashes of all windows, vectorized via cumulative powers
+            powers = np.ones(window, dtype=np.uint64)
+            for j in range(1, window):
+                powers[j] = (powers[j - 1] * base) & mod_mask
+            n_win = len(b) - window + 1
+            hashes = np.zeros(n_win, dtype=np.uint64)
+            h = np.uint64(0)
+            for j in range(window):
+                h = (h * base + b[j]) & mod_mask
+            hashes[0] = h
+            top_pow = powers[-1]
+            for j in range(1, n_win):
+                h = ((h - b[j - 1] * top_pow) * base + b[j + window - 1]) & mod_mask
+                hashes[j] = h
+            out[i] = int(hashes.min())  # winnowing: min window hash
+        return pd.Series(out)
+
+    return df.withColumn("rolling_fp", rolling_fp(F.col(text_col)))
