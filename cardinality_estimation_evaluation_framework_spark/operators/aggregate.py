@@ -183,11 +183,13 @@ def grouped_sketch_partials(
     if proj.rdd.getNumPartitions() < default_par:
         proj = proj.repartition(default_par)
     out_schema = StructType(
-        [proj.schema[k] for k in key_cols] + [StructField("sketch", BinaryType())]
+        [proj.schema[k] for k in key_cols]
+        + [StructField("sketch", BinaryType()), StructField("rows", LongType())]
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, State] = {}
+        counts: dict[tuple, int] = {}
         for pdf in batches:
             vals = pdf["item"].to_numpy(dtype=np.int64, na_value=0)
             keys = pd.MultiIndex.from_frame(pdf[key_cols])
@@ -207,10 +209,13 @@ def grouped_sketch_partials(
                 st = states.get(key)
                 if st is None:
                     st = states[key] = kernel.empty()
+                    counts[key] = 0
                 kernel.update(st, sorted_vals[s:e])
+                counts[key] += e - s
         if states:
             rows = {k: [key[i] for key in states] for i, k in enumerate(key_cols)}
             rows["sketch"] = [kernel.pack(st) for st in states.values()]
+            rows["rows"] = [counts[key] for key in states]
             yield pd.DataFrame(rows)
 
     return proj.mapInPandas(build, schema=out_schema)
@@ -227,6 +232,7 @@ def grouped_sketch(
         merged = kernel.merge_packed(list(pdf["sketch"]))
         out = pdf.iloc[[0]][key_cols].copy()
         out["sketch"] = [merged]
+        out["rows"] = [int(pdf["rows"].sum())]
         return out
 
     return partials.groupBy(*key_cols).applyInPandas(merge, schema=schema)

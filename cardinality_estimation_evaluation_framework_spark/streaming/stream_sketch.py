@@ -1,0 +1,97 @@
+"""Streaming sketch aggregation.
+
+The reference is batch-only (SURVEY §2.i) — streaming is an engine
+extension: because every sketch state is a small associative monoid, a
+stream build is just ``foreachBatch``: per micro-batch, the same
+partial+tree-merge pipeline produces one batch-state, which merges into a
+running state persisted next to the streaming checkpoint. Exactly-once:
+the state file is written under the epoch id and the latest epoch wins —
+replaying a batch overwrites the same epoch file with identical content
+(merges are idempotent-safe because the running state is rebuilt from
+epoch 0..k files, each of which is derived from a deterministic batch).
+
+Also provides the built-in watermark + tumbling-window aggregation over the
+events stream (late-data semantics come from Spark itself).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
+from cardinality_estimation_evaluation_framework_spark.sketches.base import (
+    SketchKernel,
+    State,
+)
+
+
+class StreamingSketch:
+    """Incremental sketch over a file stream via foreachBatch."""
+
+    def __init__(self, kernel: SketchKernel, state_dir: str, col: str = "item"):
+        self.kernel = kernel
+        self.state_dir = state_dir
+        self.col = col
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _epoch_path(self, epoch_id: int) -> str:
+        return os.path.join(self.state_dir, f"epoch_{epoch_id:012d}.bin")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        state = agg.sketch(batch_df, self.kernel, col=self.col)
+        with open(self._epoch_path(epoch_id), "wb") as fh:
+            fh.write(self.kernel.pack(state))
+
+    def current_state(self) -> State:
+        paths = sorted(
+            p for p in os.listdir(self.state_dir) if p.startswith("epoch_")
+        )
+        packed = []
+        for p in paths:
+            with open(os.path.join(self.state_dir, p), "rb") as fh:
+                packed.append(fh.read())
+        if not packed:
+            return self.kernel.empty()
+        return self.kernel.unpack(self.kernel.merge_packed(packed))
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_once: bool = False):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts by event_type — the
+    streaming twin of q_events_hourly."""
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w, F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, agg_df: DataFrame, name: str):
+    """Drive a streaming agg synchronously for tests/smoke (memory sink)."""
+    q = (
+        agg_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,110 @@
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
+from cardinality_estimation_evaluation_framework_spark.plans.checkpoint import (
+    CheckpointedSketchBuild,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.hll import HllKernel
+from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+    StreamingSketch,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+def test_checkpointed_build_matches_direct(spark, tmp_path):
+    df = spark.range(100_000).select(F.col("id").alias("item"))
+    kernel = HllKernel(p=12, seed=5)
+    build = CheckpointedSketchBuild(
+        df, kernel, str(tmp_path), "run1", n_buckets=8, buckets_per_job=4
+    ).run()
+    assert build.is_complete()
+    direct = agg.sketch(df, kernel)
+    assert (build.result()["registers"] == direct["registers"]).all()
+    lineage = build.lineage().toPandas()
+    assert set(lineage["bucket"]) == set(range(8))
+    assert lineage["rows"].sum() == 100_000
+    assert (lineage["wall_ms"] >= 0).all()
+
+
+def test_checkpoint_resume_after_failure(spark, tmp_path):
+    df = spark.range(50_000).select(F.col("id").alias("item"))
+    kernel = HllKernel(p=11, seed=6)
+    # first run dies after 4 of 8 buckets
+    b1 = CheckpointedSketchBuild(
+        df, kernel, str(tmp_path), "run2", n_buckets=8, buckets_per_job=2
+    ).run(fail_after_buckets=4)
+    assert not b1.is_complete()
+    done_before = b1.completed_buckets()
+    assert len(done_before) == 4
+    # resume in a NEW build object (fresh process semantics)
+    b2 = CheckpointedSketchBuild(
+        df, kernel, str(tmp_path), "run2", n_buckets=8, buckets_per_job=2
+    ).run()
+    assert b2.is_complete()
+    # resume must not have reprocessed completed buckets
+    lineage = b2.lineage().toPandas()
+    assert len(lineage) == 8  # one row per bucket, no duplicates
+    direct = agg.sketch(df, kernel)
+    assert (b2.result()["registers"] == direct["registers"]).all()
+
+
+def test_checkpoint_rerun_is_noop(spark, tmp_path):
+    df = spark.range(10_000).select(F.col("id").alias("item"))
+    kernel = HllKernel(p=10, seed=7)
+    b = CheckpointedSketchBuild(df, kernel, str(tmp_path), "run3", n_buckets=4).run()
+    lineage_count = b.lineage().count()
+    b.run()  # no missing buckets → nothing written
+    assert b.lineage().count() == lineage_count
+
+
+def test_streaming_sketch_matches_batch(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(src)
+    # three incremental files
+    for i in range(3):
+        spark.range(i * 10_000, (i + 1) * 10_000).select(
+            F.col("id").alias("item")
+        ).write.mode("overwrite").parquet(str(src / f"part{i}"))
+    kernel = HllKernel(p=12, seed=9)
+    ss = StreamingSketch(kernel, str(state))
+    stream = (
+        spark.readStream.schema("item long").parquet(str(src / "part*"))
+    )
+    q = ss.start(stream, str(ckpt), trigger_once=True)
+    q.awaitTermination(120)
+    merged = ss.current_state()
+    batch = agg.sketch(
+        spark.range(30_000).select(F.col("id").alias("item")), kernel
+    )
+    assert (merged["registers"] == batch["registers"]).all()
+
+
+def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
+    # readStream needs a directory source
+    ev_dir = tmp_path / "events_src"
+    os.makedirs(ev_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(ev_schema).parquet(str(ev_dir))
+    aggd = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = run_stream_to_memory(spark, aggd, "wincounts")
+    out = spark.sql("SELECT * FROM wincounts")
+    try:
+        rows = out.collect()
+        assert len(rows) > 0
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        assert len(rows) == batch.count()
+    finally:
+        q.stop()
