@@ -292,6 +292,58 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregation + HAVING (analyzer-style join, ref: analyzer.py:223-238)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .where(F.col("n_orders") >= 10)
+    )
+
+
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window: new session when gap > 30 min; count
+    sessions per user (>= 5 sessions). Window + cumulative-sum pattern
+    (ref window usage: analyzer.py:371-427)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
+def q_stratified_level_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-frequency-level reach — the leveling step of the stratified
+    sketch build (ref: stratified_sketch.py:152-214) over orders-per-customer
+    (a column with real frequency spread at test scale)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    freq = orders.groupBy("o_custkey").agg(F.count("*").alias("freq"))
+    return (
+        freq.select(
+            F.when(F.col("freq") >= 8, F.lit("8+"))
+            .otherwise(F.col("freq").cast("string"))
+            .alias("level")
+        )
+        .groupBy("level")
+        .agg(F.count("*").alias("n_ids"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed portable-HLL register table on sf0.001."""
     return q_hll_register_table(spark, "/root/testdata/sf0.001")
@@ -319,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "similarity_search": q_similarity_search,
+        "top_customers": q_top_customers,
+        "user_session_stats": q_user_session_stats,
+        "stratified_level_reach": q_stratified_level_reach,
     }
 
 
@@ -448,4 +503,28 @@ scored AS (
 )
 SELECT vec_id, round(c, 6) AS cosine FROM scored WHERE round(c, 6) >= 0.35
 """,
+        "top_customers": (
+            "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 4) AS total_spend "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 10"
+        ),
+        "user_session_stats": """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM marked GROUP BY user_id HAVING sum(new_session) >= 5
+""",
+        "stratified_level_reach": (
+            "SELECT CASE WHEN freq >= 8 THEN '8+' ELSE CAST(freq AS VARCHAR) END AS level,"
+            " count(*) AS n_ids FROM ("
+            "   SELECT o_custkey, count(*) AS freq FROM orders GROUP BY o_custkey"
+            ") GROUP BY 1"
+        ),
     }

@@ -1,14 +1,22 @@
 """Headline benchmark: one JSON line with per-query seconds.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]. The headline metric is sketch-build throughput
-(tokens/sec through the HLL partial+tree-merge pipeline on the hashed
-tokenizer — the 100 TB production path); per-query wall times cover the
-other operator families.
+local[$SPARK_GRAFT_CPUS].
+
+The flagship metric is sketch-build throughput (tokens/sec) over a
+deterministic synthetic pre-tokenized table (BASELINE.json input_hint
+shape) large enough that compute dominates fixed overhead; the testdata
+queries cover the other operator families at sf scale.
+
+``--scaling`` runs only the flagship (used by bench_scaling.py to measure
+local[8] vs local[32] throughput for the N→4N efficiency evidence).
+A small warmup job runs first: this sandbox shows large first-touch page
+-fault stalls, and real clusters amortize worker spin-up the same way.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -19,12 +27,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from cardinality_estimation_evaluation_framework_spark.datagen import tokens as tk
-from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
+from cardinality_estimation_evaluation_framework_spark.operators import (
+    aggregate as agg,
+    dedup as dedup_ops,
+    similarity as sim_ops,
+)
 from cardinality_estimation_evaluation_framework_spark.session import get_spark
+from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
+    CountMinKernel,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.bloom import BloomKernel
 from cardinality_estimation_evaluation_framework_spark.sketches.hll import HllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.kll import KllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.suite import SuiteKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
+    TDigestKernel,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "300000"))
+TOKENS_PER_DOC = 100
+SYNTH_PARTS = 64  # fixed input layout so parallelism levels see identical splits
+
+
+def flagship_kernel() -> SuiteKernel:
+    """One-scan multi-sketch build: the shape of a real 100 TB stats pass."""
+    return SuiteKernel(
+        {
+            "hll": HllKernel(p=14, seed=42),
+            "cm": CountMinKernel(width=4096, depth=4, seed=1),
+            "bloom": BloomKernel(dist_kind="exponential", m=65536, seed=2, decay_rate=10.0),
+        }
+    )
+
+
+def synth_token_items(spark, n_docs: int, parts: int):
+    """Deterministic (doc_id, tokens[], ...) table → exploded int64 items,
+    generated entirely JVM-side (range + transform + explode)."""
+    docs = spark.range(n_docs, numPartitions=parts)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+        lambda i: F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(2**31 - 1)).cast("int"),
+    )
+    return agg.explode_tokens(docs.select(toks.alias("tokens")))
 
 
 def timed(fn):
@@ -34,74 +80,103 @@ def timed(fn):
 
 
 def main() -> None:
-    spark = get_spark("ceef-bench", cores=CPUS)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    toks_df = agg.explode_tokens(tk.tokenize_hashed(docs)).cache()
-    n_tokens = toks_df.count()  # materialize cache; token volume for throughput
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="flagship only")
+    args = ap.parse_args()
 
+    spark = get_spark("ceef-bench", cores=CPUS)
+    suite = flagship_kernel()
+    # warmup: spin up python workers, JIT, allocator pools
+    agg.sketch(synth_token_items(spark, 5_000, SYNTH_PARTS), suite)
+
+    n_tokens = SYNTH_DOCS * TOKENS_PER_DOC
     queries: dict[str, float] = {}
 
-    # q1: flagship — distributed HLL++ sketch build over all tokens
-    k = HllKernel(p=14, seed=42)
-    sec, state = timed(lambda: agg.sketch(toks_df, k))
-    queries["hll_build"] = sec
-    hll_est = k.estimate(state)[0]
+    # flagship: one-scan suite build (HLL + count-min + exp ADBF) over the
+    # synthetic token table
+    items = synth_token_items(spark, SYNTH_DOCS, SYNTH_PARTS)
+    sec, state = timed(lambda: agg.sketch(items, suite))
+    queries["suite_build_synth"] = sec
     tokens_per_sec = n_tokens / sec if sec > 0 else 0.0
+    hll_est = HllKernel(p=14, seed=42).estimate(suite.child(state, "hll"))[0]
 
-    # q2: grouped HLL per source
-    tok_src = tk.tokenize_hashed(docs).select(
-        "source", F.explode("tokens").alias("_t")
-    ).select("source", F.col("_t").cast("long").alias("item"))
-    sec, _ = timed(
-        lambda: agg.grouped_estimate(
-            agg.grouped_sketch(tok_src, HllKernel(p=12, seed=7), ["source"], "item"),
-            HllKernel(p=12, seed=7),
-            ["source"],
-        ).collect()
-    )
-    queries["hll_by_source"] = sec
+    payload = {
+        "metric": "bench_total_sec",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "synth_tokens": n_tokens,
+        "tokens_per_sec_suite_build": round(tokens_per_sec),
+        "hll_estimate": round(hll_est),
+    }
 
-    # q3: exact reach per source (shuffle-heavy baseline for comparison)
-    sec, _ = timed(
-        lambda: tok_src.groupBy("source")
-        .agg(F.countDistinct("item").alias("reach"))
-        .collect()
-    )
-    queries["exact_reach_by_source"] = sec
+    if not args.scaling:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        tok_items = agg.explode_tokens(tk.tokenize_hashed(docs)).cache()
+        tok_items.count()
 
-    # q4: token frequency histogram (two-level agg)
-    sec, _ = timed(
-        lambda: toks_df.groupBy("item")
-        .count()
-        .groupBy("count")
-        .count()
-        .collect()
-    )
-    queries["token_freq_hist"] = sec
+        sec, _ = timed(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
+        queries["hll_build_docs"] = sec
 
-    # q5: spark-native approx_count_distinct cross-check (JVM HLL baseline)
-    sec, native = timed(
-        lambda: toks_df.agg(F.approx_count_distinct("item", 0.01).alias("d")).collect()
-    )
-    queries["native_approx_distinct"] = sec
-
-    total = sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k_: round(v, 3) for k_, v in queries.items()},
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "tokens": n_tokens,
-                "tokens_per_sec_hll_build": round(tokens_per_sec),
-                "hll_estimate": round(hll_est),
-                "native_estimate": int(native[0]["d"]),
-                "cpus": CPUS,
-            }
+        tok_src = tk.tokenize_hashed(docs).select(
+            "source", F.explode("tokens").alias("t")
+        ).select("source", F.col("t").cast("long").alias("item"))
+        k12 = HllKernel(p=12, seed=7)
+        sec, _ = timed(
+            lambda: agg.grouped_estimate(
+                agg.grouped_sketch(tok_src, k12, ["source"], "item"), k12, ["source"]
+            ).collect()
         )
-    )
+        queries["hll_by_source"] = sec
+
+        sec, _ = timed(lambda: agg.sketch(items, CountMinKernel(width=4096, depth=4, seed=1)))
+        queries["countmin_build_synth"] = sec
+
+        sec, _ = timed(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))
+        queries["kll_lineitem"] = sec
+
+        sec, _ = timed(lambda: agg.sketch(li, TDigestKernel(delta=200), col="l_extendedprice"))
+        queries["tdigest_lineitem"] = sec
+
+        sec, _ = timed(
+            lambda: tok_src.groupBy("source").agg(F.countDistinct("item")).collect()
+        )
+        queries["exact_reach_by_source"] = sec
+
+        sec, _ = timed(
+            lambda: tok_items.groupBy("item").count().groupBy("count").count().collect()
+        )
+        queries["token_freq_hist"] = sec
+
+        sec, _ = timed(
+            lambda: dedup_ops.minhash_dedup_pairs(
+                docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+                threshold=0.8, num_hashes=64, bands=16,
+            ).count()
+        )
+        queries["minhash_dedup_docs"] = sec
+
+        sec, _ = timed(
+            lambda: dedup_ops.simhash_signatures(
+                docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            ).count()
+        )
+        queries["simhash_sigs_docs"] = sec
+
+        q = [float(x) for x in emb.select("embedding").first()[0]]
+        sec, _ = timed(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
+        queries["cosine_topk"] = sec
+
+        sec, _ = timed(
+            lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
+        )
+        queries["native_approx_distinct"] = sec
+
+    payload["queries"] = {k_: round(v, 3) for k_, v in queries.items()}
+    payload["value"] = round(sum(queries.values()), 3)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -74,9 +74,18 @@ def items_column(df: DataFrame, col: str, input_dtype: str = "int64") -> DataFra
     return df.select(c.cast("long").alias("item"))
 
 
-def explode_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+def explode_tokens(df: DataFrame, tokens_col: str = "tokens", spread: bool = True) -> DataFrame:
     """tokens array<int32> → one int64 ``item`` per token (Catalyst explode,
-    whole-stage codegen; no Python involved)."""
+    whole-stage codegen; no Python involved).
+
+    ``spread``: when the input arrives under-partitioned (single local file),
+    repartition the DOC rows before exploding — moving ~100x fewer bytes
+    than a post-explode shuffle of raw tokens would. On a real multi-split
+    scan this is a no-op."""
+    if spread:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
     return df.select(F.explode(F.col(tokens_col)).alias("_t")).select(
         F.col("_t").cast("long").alias("item")
     )

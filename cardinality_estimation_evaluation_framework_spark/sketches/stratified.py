@@ -83,6 +83,49 @@ def build_stratified(
     return StratifiedSketch(kernel, max_freq, sketches)
 
 
+def noise_stratified(
+    ss: StratifiedSketch,
+    noiser_factory: Callable[[float, np.random.RandomState], Callable],
+    epsilon: float,
+    rng: np.random.RandomState,
+    epsilon_split: float = 0.0,
+) -> StratifiedSketch:
+    """Epsilon-split local-DP noising (ref: stratified_sketch.py:217-225):
+    with epsilon_split == 0 every level (incl. the merged 1+) gets the full
+    epsilon; otherwise 1+ gets epsilon*split and the levels share the rest.
+    ``noiser_factory(eps, rng)`` returns a state->state noiser (e.g.
+    lambda e, r: BlipNoiser(e, r))."""
+    assert 0 <= epsilon_split < 1
+    one_plus_eps = epsilon if epsilon_split == 0 else epsilon * epsilon_split
+    rest_eps = epsilon if epsilon_split == 0 else epsilon * (1 - epsilon_split)
+    rest = noiser_factory(rest_eps, rng)
+    one_plus = noiser_factory(one_plus_eps, rng)
+    out = {}
+    for key in ss.level_keys():
+        out[key] = rest(ss.sketches[key])
+    out[ONE_PLUS] = one_plus(ss.sketches[ONE_PLUS])
+    return StratifiedSketch(ss.kernel, ss.max_freq, out)
+
+
+def denoise_stratified(
+    ss: StratifiedSketch,
+    denoiser_factory: Callable[[float], Callable],
+    epsilon: float,
+    epsilon_split: float = 0.0,
+) -> StratifiedSketch:
+    """Per-level SurrealDenoiser with the matching epsilon split
+    (ref: stratified_sketch.py:369-406)."""
+    one_plus_eps = epsilon if epsilon_split == 0 else epsilon * epsilon_split
+    rest_eps = epsilon * (1 - epsilon_split) if epsilon_split else epsilon
+    rest = denoiser_factory(rest_eps)
+    one_plus = denoiser_factory(one_plus_eps)
+    out = {}
+    for key in ss.level_keys():
+        out[key] = rest([ss.sketches[key]])[0]
+    out[ONE_PLUS] = one_plus([ss.sketches[ONE_PLUS]])[0]
+    return StratifiedSketch(ss.kernel, ss.max_freq, out)
+
+
 class StratifiedPairwiseEstimator:
     """Frequency-convolution merge + per-level estimation
     (ref: stratified_sketch.py:408-513)."""

@@ -34,6 +34,7 @@ from cardinality_estimation_evaluation_framework_spark.simulation.estimators imp
     ESTIMATOR_CONFIGS,
     get_estimator_configs,
 )
+from cardinality_estimation_evaluation_framework_spark.simulation import report
 from cardinality_estimation_evaluation_framework_spark.simulation.evaluator import (
     Evaluator,
     read_results,
@@ -97,7 +98,13 @@ def main(argv=None) -> int:
     csv_path = os.path.join(analysis_dir, "num_estimable_sets.csv")
     pdf.to_csv(csv_path, index=False)
     print(pdf.to_string(index=False))
-    print(f"[report] wrote {csv_path}")
+
+    stats_pdf = analyzer.relative_error_stats_at_estimable(metric, results).toPandas()
+    html_path = report.generate_html_report(
+        pdf, stats_pdf, analysis_dir,
+        title=f"{evaluation_config.name} ({args.num_runs} runs)",
+    )
+    print(f"[report] wrote {csv_path} and {html_path}")
     return 0
 
 
