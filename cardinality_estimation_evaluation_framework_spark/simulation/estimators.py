@@ -131,7 +131,11 @@ def log_adbf_first_moment(m: int = 100_000) -> SketchEstimatorConfig:
     )
 
 
-def geo_adbf_first_moment(m: int = 100_000, probability: float = 0.08) -> SketchEstimatorConfig:
+def geo_adbf_first_moment(m: int = 100_000, probability: float | None = None) -> SketchEstimatorConfig:
+    # the reference couples probability to length: p = 2 / m
+    # (ref: evaluation_configs.py:126 GEO_LENGTH_PROB_PRODUCT, :1089)
+    if probability is None:
+        probability = 2.0 / m
     return SketchEstimatorConfig(
         name=f"geo_bloom_filter-{m}_{probability:g}-first_moment_geo-no_local_dp-no_global_dp",
         kernel_factory=lambda seed: BloomKernel(

@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--analysis_out_dir", default=None)
     p.add_argument("--error_margin", type=float, nargs="+", default=[0.05])
     p.add_argument("--proportion_of_runs", type=float, nargs="+", default=[0.95])
+    p.add_argument("--analysis_type", choices=["cardinality", "frequency"],
+                   default="cardinality",
+                   help="frequency analyzes the max_frequency-th k+ level")
     p.add_argument("--max_frequency", type=int, default=1)
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--random_seed", type=int, default=42)
@@ -73,7 +76,12 @@ def main(argv=None) -> int:
         if getattr(args, k) is not None:
             cfg_kwargs[k] = getattr(args, k)
     evaluation_config = EVALUATION_CONFIGS[args.evaluation_config](**cfg_kwargs)
-    estimator_configs = get_estimator_configs(args.sketch_estimator_configs)
+    overrides = {}
+    if args.max_frequency > 1:
+        for n in args.sketch_estimator_configs:
+            if n in ("exact", "less_one", "fll", "ska"):
+                overrides[n] = {"max_frequency": args.max_frequency}
+    estimator_configs = get_estimator_configs(args.sketch_estimator_configs, **overrides)
 
     out_dir = os.path.join(args.out_dir, args.run_name)
     print(f"[evaluate] {evaluation_config.name}: "
@@ -89,8 +97,18 @@ def main(argv=None) -> int:
 
     print("[analyze]")
     results = read_results(spark, out_dir, evaluation_config.name)
+    # cardinality analyzes the 1+ level; frequency the deepest k+ level
+    # (ref: run_evaluation.py analysis_type flag)
+    err_col = (
+        "relative_error_1"
+        if args.analysis_type == "cardinality"
+        else f"relative_error_{args.max_frequency}"
+    )
     metric = analyzer.num_estimable_sets_df(
-        results, error_margins=args.error_margin, proportions=args.proportion_of_runs
+        results,
+        error_margins=args.error_margin,
+        proportions=args.proportion_of_runs,
+        relative_error_col=err_col,
     )
     analysis_dir = args.analysis_out_dir or os.path.join(out_dir, "analysis")
     os.makedirs(analysis_dir, exist_ok=True)
