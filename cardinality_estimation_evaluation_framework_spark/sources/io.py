@@ -23,7 +23,10 @@ ICEBERG_PREFIX = "iceberg:"
 
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: SLF001
+        # Class.forName: py4j package traversal never fails, this does
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.catalog.Catalog"
+        )
         return True
     except Exception:
         return False
