@@ -98,6 +98,24 @@ def q_hll_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="bucket int, rho int")
 
 
+def q_hll_by_source_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source portable-HLL register tables via the GROUPED harness
+    (map-side combine + per-key merge), emitted as (source, bucket, rho) —
+    the DuckDB oracle recomputes per-source registers in SQL, verifying the
+    grouped aggregation path value-for-value."""
+    kernel = PortableHllKernel(**_PORTABLE_HLL)
+    tids = tk.token_ids_exploded(_docs(spark, sf_dir)).select(
+        "source", F.col("tid").alias("item")
+    )
+    rows_out = []
+    for r in agg.grouped_sketch(tids, kernel, ["source"], "item").collect():
+        regs = kernel.unpack(bytes(r["sketch"]))["registers"]
+        for b, rho in enumerate(regs.tolist()):
+            if rho > 0:
+                rows_out.append(Row(source=r["source"], bucket=int(b), rho=int(rho)))
+    return spark.createDataFrame(rows_out, schema="source string, bucket int, rho int")
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style groupBy agg (ref: simulator.py:75-83 mean/std pattern)."""
     docs = _docs(spark, sf_dir)
@@ -355,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_hist": q_token_freq_hist,
         "kplus_reach": q_kplus_reach,
         "hll_register_table": q_hll_register_table,
+        "hll_by_source_registers": q_hll_by_source_registers,
         "doc_stats_by_source": q_doc_stats_by_source,
         "voc_register_table": q_voc_register_table,
         "countmin_register_table": q_countmin_register_table,
@@ -415,6 +434,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_source": (
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "avg(n_chars) AS avg_chars FROM documents GROUP BY source"
+        ),
+        "hll_by_source_registers": (
+            f"{vocab}, st AS ("
+            "  SELECT DISTINCT source, tid FROM toks JOIN vocab USING (tok))"
+            f" SELECT source, bucket, max(rho) AS rho FROM ("
+            f"   SELECT source, {hll.register_sql('tid')} FROM st"
+            ") GROUP BY source, bucket"
         ),
         "voc_register_table": (
             f"{vocab} SELECT bucket, CAST(count(*) AS INT) AS cnt FROM ("

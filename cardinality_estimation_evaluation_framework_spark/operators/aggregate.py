@@ -91,6 +91,41 @@ def explode_tokens(df: DataFrame, tokens_col: str = "tokens", spread: bool = Tru
     )
 
 
+def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 16,
+                       partitions: int | None = None) -> DataFrame:
+    """Explicit skew-salting: repartition on hash(key, salt) so one hot key's
+    rows spread over ``salt_buckets`` tasks (north-rule requirement).
+
+    For SKETCH aggregation this is rarely needed — the map-side combine in
+    grouped_sketch_partials already collapses any per-partition key skew to
+    one state — but exact aggregations (counts, joins) over a hot key need
+    it, and it also spreads a pathological input placement before stage 1.
+    The salt uses a deterministic hash of a per-row sequence, not rand(),
+    so replays are stable.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    return (
+        df.withColumn("_salt", salt)
+        .repartition(n, F.col(key_col), F.col("_salt"))
+        .drop("_salt")
+    )
+
+
+def salted_exact_counts(df: DataFrame, key_col: str, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase exact count for skewed keys: partial count per (key, salt)
+    then final sum per key — the salted twin of ``groupBy(key).count()``.
+    (Spark's hash agg already partial-aggregates; the explicit form also
+    protects sort-based fallbacks and demonstrates the pattern.)"""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(F.count("*").alias("_c"))
+    )
+    return partial.groupBy(key_col).agg(F.sum("_c").cast("long").alias("count"))
+
+
 def sketch_array_partials(
     df: DataFrame,
     kernel: SketchKernel,

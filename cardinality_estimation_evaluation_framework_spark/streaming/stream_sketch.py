@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cardinality_estimation_evaluation_framework_spark.operators import aggregate as agg
@@ -65,6 +66,51 @@ class StreamingSketch:
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def stateful_grouped_sketch_stream(
+    stream_df: DataFrame,
+    kernel: SketchKernel,
+    key_col: str,
+    item_col: str = "item",
+):
+    """Per-key incremental sketches as STREAMING STATE
+    (``applyInPandasWithState``): the group state is the packed sketch;
+    each micro-batch folds its rows into the state and emits the current
+    estimate. State size is O(m) per key regardless of stream length —
+    exactly why sketches are the right streaming aggregate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st = kernel.unpack(bytes(state.get[0]))
+            n = int(state.get[1])
+        else:
+            st = kernel.empty()
+            n = 0
+        for pdf in pdfs:
+            vals = pdf[item_col].to_numpy(dtype=np.int64, na_value=0)
+            kernel.update(st, vals)
+            n += len(vals)
+        state.update((kernel.pack(st), n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "estimate": [float(kernel.estimate(st)[0])],
+                "rows_seen": [n],
+            }
+        )
+
+    proj = stream_df.select(key_col, F.col(item_col).cast("long").alias(item_col))
+    return proj.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, estimate double, rows_seen long",
+        stateStructType="sketch binary, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def windowed_event_counts(

@@ -87,6 +87,46 @@ def test_streaming_sketch_matches_batch(spark, tmp_path):
     assert (merged["registers"] == batch["registers"]).all()
 
 
+def test_stateful_grouped_sketch_stream(spark, tmp_path):
+    from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+        stateful_grouped_sketch_stream,
+    )
+
+    src = tmp_path / "st_src"
+    os.makedirs(src)
+    # two batches arriving over time for two sources
+    spark.range(20_000).select(
+        (F.col("id") % 2).cast("string").alias("source"), F.col("id").alias("item")
+    ).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema("source string, item long").parquet(str(src / "b*"))
+    kernel = HllKernel(p=12, seed=4)
+    aggd = stateful_grouped_sketch_stream(stream, kernel, "source", "item")
+    q = (
+        aggd.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_sketch")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file arrives; state must accumulate
+        spark.range(20_000, 40_000).select(
+            (F.col("id") % 2).cast("string").alias("source"), F.col("id").alias("item")
+        ).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT source, max(rows_seen) rows_seen, max_by(estimate, rows_seen) estimate "
+            "FROM stateful_sketch GROUP BY source"
+        ).collect()
+        by_src = {r["source"]: r for r in out}
+        for s in ("0", "1"):
+            assert by_src[s]["rows_seen"] == 20_000
+            assert abs(by_src[s]["estimate"] - 20_000) / 20_000 < 0.05
+    finally:
+        q.stop()
+
+
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     # readStream needs a directory source
     ev_dir = tmp_path / "events_src"
