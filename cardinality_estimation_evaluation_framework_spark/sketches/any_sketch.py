@@ -173,13 +173,10 @@ def fold_unique_key(registers: np.ndarray, idx: np.ndarray, keys: np.ndarray) ->
     reg_ids = si[new_reg]
     # first key per register in this batch
     first_key = sk[new_reg]
-    # does any register receive a second distinct key?
-    seg_end = np.concatenate((new_reg[1:], [len(si)]))
-    collided_in_batch = np.zeros(len(reg_ids), dtype=bool)
-    # distinct-key check per segment: any adjacent inequality inside segment
+    # a register collides within the batch iff any adjacent pair inside its
+    # segment carries two distinct keys
     diff = np.concatenate(([False], (sk[1:] != sk[:-1]) & (si[1:] == si[:-1])))
-    seg_has_diff = np.add.reduceat(diff.astype(np.int64), new_reg) > 0
-    collided_in_batch |= seg_has_diff
+    collided_in_batch = np.add.reduceat(diff.astype(np.int64), new_reg) > 0
     batch_val = np.where(collided_in_batch, UNIQUE_COLLIDED, first_key)
     cur = registers[reg_ids]
     merged = np.where(
@@ -192,7 +189,6 @@ def fold_unique_key(registers: np.ndarray, idx: np.ndarray, keys: np.ndarray) ->
         ),
     )
     registers[reg_ids] = merged
-    _ = seg_end  # bounds kept for clarity; reduceat consumes starts only
 
 
 def merge_unique_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:

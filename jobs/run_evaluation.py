@@ -97,17 +97,20 @@ def main(argv=None) -> int:
 
     print("[analyze]")
     results = read_results(spark, out_dir, evaluation_config.name)
-    # cardinality analyzes the 1+ level; frequency the deepest k+ level
-    # (ref: run_evaluation.py analysis_type flag)
-    err_col = (
-        "relative_error_1"
-        if args.analysis_type == "cardinality"
-        else f"relative_error_{args.max_frequency}"
-    )
+    # cardinality analyzes relative_error_1; frequency analyzes shuffle
+    # distance (ref: analyzer.py:275-288, criteria doc: 20% shuffle distance
+    # for 80% of runs)
+    if args.analysis_type == "cardinality":
+        err_col = "relative_error_1"
+        margins, props = args.error_margin, args.proportion_of_runs
+    else:
+        err_col = "shuffle_distance"
+        margins = args.error_margin if args.error_margin != [0.05] else [0.2]
+        props = args.proportion_of_runs if args.proportion_of_runs != [0.95] else [0.8]
     metric = analyzer.num_estimable_sets_df(
         results,
-        error_margins=args.error_margin,
-        proportions=args.proportion_of_runs,
+        error_margins=margins,
+        proportions=props,
         relative_error_col=err_col,
     )
     analysis_dir = args.analysis_out_dir or os.path.join(out_dir, "analysis")
