@@ -243,8 +243,11 @@ ESTIMATOR_CONFIGS = {
 
 
 def get_estimator_configs(names: list[str], **overrides) -> list[SketchEstimatorConfig]:
-    """Lookup by short name (ref analogue: evaluation_configs.py:1730-1762)."""
+    """Lookup by short name, with optional per-name kwargs overrides
+    (ref analogue: evaluation_configs.py:1730-1762)."""
     missing = [n for n in names if n not in ESTIMATOR_CONFIGS]
     if missing:
-        raise ValueError(f"unknown estimator configs: {missing}; have {sorted(ESTIMATOR_CONFIGS)}")
-    return [ESTIMATOR_CONFIGS[n](**overrides.get(n, {})) if isinstance(overrides.get(n, {}), dict) else ESTIMATOR_CONFIGS[n]() for n in names]
+        raise ValueError(
+            f"unknown estimator configs: {missing}; have {sorted(ESTIMATOR_CONFIGS)}"
+        )
+    return [ESTIMATOR_CONFIGS[n](**overrides.get(n, {})) for n in names]

@@ -31,8 +31,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
-        elif pd.api.types.is_integer_dtype(df[c]) or str(df[c].dtype) == "object":
-            df[c] = pd.to_numeric(df[c], errors="ignore")
     # HUGEINT arrives as object/float — coerce numerics to int64 when lossless
     for c in df.columns:
         try:
