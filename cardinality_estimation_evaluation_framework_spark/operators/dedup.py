@@ -61,8 +61,12 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # --------------------------------------------------------------------------
 
 def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, gram) — distinct word n-grams, pure Catalyst."""
+                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(doc_id, gram) — word n-grams, pure Catalyst.
+
+    ``distinct=True`` (the Jaccard contract) costs one shuffle; minhash
+    passes ``distinct=False`` because min() is duplicate-insensitive, so the
+    signature kernel runs shuffle-free on the raw exploded grams."""
     words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
     doc = docs.select(F.col(id_col).cast("string").alias("doc_id"), words.alias("w"))
     grams = doc.select(
@@ -74,7 +78,7 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
             )
         ).alias("gram"),
     )
-    return grams.distinct()
+    return grams.distinct() if distinct else grams
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -146,13 +150,25 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sig array<long>): minhash over word n-gram hashes.
 
-    Grams are hashed JVM-side (xxhash64); the per-doc min over k seeded
-    remixes runs as one Arrow batch kernel (splitmix64 per hash index —
-    O(grams x k) numpy, no per-row Python).
+    Scale posture: ZERO raw-gram shuffles. min() is duplicate-insensitive so
+    the grams are NOT de-duplicated first (``distinct=False``); grams are
+    hashed JVM-side (xxhash64) and each Arrow batch emits per-doc partial
+    signatures (O(KB)) that the final groupBy min-merges — the only shuffle
+    moves (doc_id, 64-long sig) rows, one per doc per touched partition.
+
+    Kernel: sort-by-doc + ``np.minimum.reduceat`` over a (grams x k) remix
+    matrix — buffered, vectorized, no per-row Python and no unbuffered
+    ``ufunc.at``. Identical outputs to the per-k splitmix64 formulation.
     """
-    grams = word_ngrams(docs, n, text_col, id_col).select(
+    grams = word_ngrams(docs, n, text_col, id_col, distinct=False).select(
         "doc_id", F.xxhash64("gram").alias("gh")
     )
+
+    # additive splitmix64 seed offsets for the k remixes: seed_k*GAMMA mod 2^64
+    ks = np.arange(num_hashes, dtype=np.uint64)
+    seed_ks = np.uint64((seed * 1_000_003) % 2**64) + ks  # wraps like the scalar path
+    with np.errstate(over="ignore"):
+        offs = seed_ks * np.uint64(0x9E3779B97F4A7C15)
 
     def per_batch(batches):
         for pdf in batches:
@@ -160,25 +176,35 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                 continue
             codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
             gh = pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
-            sigs = np.full((len(uniq), num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
-            for k in range(num_hashes):
-                hk = splitmix64(gh, seed * 1_000_003 + k).view(np.int64)
-                np.minimum.at(sigs[:, k], codes, hk)
-            yield pd.DataFrame({"doc_id": uniq, "sig": list(sigs)})
+            order = np.argsort(codes, kind="stable")
+            starts = np.flatnonzero(np.r_[True, np.diff(codes[order]) != 0])
+            # (grams, k) remix matrix: splitmix64 body, vectorized over both axes
+            with np.errstate(over="ignore"):
+                z = gh[order, None] + offs[None, :]
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z = z ^ (z >> np.uint64(31))
+            sigs = np.minimum.reduceat(z.view(np.int64), starts, axis=0)
+            yield pd.DataFrame({"doc_id": uniq[codes[order[starts]]], "sig": list(sigs)})
 
-    # partial per partition then re-merge per doc (mins combine associatively)
-    partial = grams.repartition("doc_id").mapInPandas(
-        per_batch, schema="doc_id string, sig array<long>"
-    )
+    # partial per input partition, then min-merge per doc (mins are associative)
+    partial = grams.mapInPandas(per_batch, schema="doc_id string, sig array<long>")
     return partial.groupBy("doc_id").agg(
         F.array(*[F.min(F.col("sig")[i]) for i in range(num_hashes)]).alias("sig")
     )
 
 
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
-                           rows_per_band: int = 4) -> DataFrame:
+                           rows_per_band: int = 4,
+                           max_bucket_size: int = 100_000) -> DataFrame:
     """Band the signature; candidates = pairs sharing any band bucket.
-    The quadratic join becomes an equi-join on (band, bucket)."""
+    The quadratic join becomes an equi-join on (band, bucket).
+
+    ``max_bucket_size`` caps the per-bucket fanout: a degenerate bucket
+    (boilerplate text collapsing millions of docs into one signature band)
+    would make the candidate join quadratic in that bucket, so buckets above
+    the cap are dropped before the self-join. Near-dup pairs inside a dropped
+    bucket still surface through the doc's other bands."""
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -199,6 +225,11 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
+        banded = banded.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -242,8 +273,15 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", seed: int = 0) -> DataFrame:
-    """(doc_id, simhash long): sign-sum of token-hash bit columns — one
-    Arrow kernel over exploded tokens."""
+    """(doc_id, simhash long): sign-sum of token-hash bit columns.
+
+    Scale posture: no raw-token shuffle — explode preserves the scan's
+    partitioning, each Arrow batch emits per-doc partial bit-accumulators
+    (64 longs per doc), and the groupBy sum merges them (sums are
+    associative). The only shuffled rows are the O(docs) partials.
+
+    Kernel: sort-by-doc + ``np.unpackbits`` + ``np.add.reduceat`` — buffered
+    vectorized ops; the sign-sum per bit is 2*ones_count - group_size."""
     words = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.explode(
@@ -257,17 +295,19 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                 continue
             codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
             th = splitmix64(pdf["th"].to_numpy(dtype=np.int64).view(np.uint64), seed)
-            acc = np.zeros((len(uniq), 64), dtype=np.int64)
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            signs = bits * 2 - 1
-            np.add.at(acc, codes, signs)
-            sig = (acc > 0).astype(np.uint64)
-            packed = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1).view(np.int64)
-            yield pd.DataFrame({"doc_id": uniq, "acc": list(acc), "sim": packed})
+            order = np.argsort(codes, kind="stable")
+            codes_sorted = codes[order]
+            starts = np.flatnonzero(np.r_[True, np.diff(codes_sorted) != 0])
+            sizes = np.diff(np.r_[starts, len(codes_sorted)])
+            # (tokens, 64) 0/1 matrix, little-endian bit p at column p
+            bits = np.unpackbits(
+                th[order].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            ones = np.add.reduceat(bits, starts, axis=0)
+            acc = (2 * ones - sizes[:, None]).astype(np.int64)
+            yield pd.DataFrame({"doc_id": uniq, "acc": list(acc)})
 
-    partial = words.repartition("doc_id").mapInPandas(
-        per_batch, schema="doc_id string, acc array<long>, sim long"
-    )
+    partial = words.mapInPandas(per_batch, schema="doc_id string, acc array<long>")
     # merge partials: sum bit-accumulators per doc, then re-pack
     merged = partial.groupBy("doc_id").agg(
         F.array(*[F.sum(F.col("acc")[i]) for i in range(64)]).alias("acc")
@@ -281,9 +321,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
-                           seed: int = 0) -> DataFrame:
+                           seed: int = 0,
+                           max_bucket_size: int = 100_000) -> DataFrame:
     """Near-dup pairs by hamming distance on simhash, LSH-bucketed on 16-bit
-    chunks (a pair within hamming<=3 shares at least one of 4 chunks)."""
+    chunks (a pair within hamming<=3 shares at least one of 4 chunks).
+
+    ``max_bucket_size`` caps degenerate (chunk, val) buckets the same way as
+    :func:`minhash_lsh_candidates` — drop, don't explode quadratically."""
     sigs = simhash_signatures(docs, text_col, id_col, seed)
     chunks = sigs.select(
         "doc_id", "simhash",
@@ -297,6 +341,11 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    if max_bucket_size is not None:
+        bsz = F.count("*").over(Window.partitionBy("chunk", "val"))
+        chunks = chunks.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -326,7 +375,11 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine pairs >= threshold (JVM-side zip_with/aggregate math)."""
+    """Exact cosine pairs >= threshold (JVM-side zip_with/aggregate math).
+
+    All-pairs O(N^2) join — the verification/oracle path only. The scale
+    path is :func:`embedding_near_dup_pairs_lsh` below (banded hyperplane
+    LSH -> equi-join -> exact re-rank)."""
     vd = F.transform(vec_col, lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
     e = emb.select(
@@ -349,4 +402,70 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             F.col("b.vid").alias("vec_b"),
             "cosine",
         )
+    )
+
+
+def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                                 bands: int = 8, planes_per_band: int = 8,
+                                 seed: int = 7, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 max_bucket_size: int = 100_000) -> DataFrame:
+    """Banded hyperplane-LSH embedding near-dup pairs — the scale path.
+
+    ``bands`` independent sets of ``planes_per_band`` random hyperplanes
+    (reusing similarity._hyperplanes, seeded -> deterministic). Two vectors
+    at angle theta collide in one band with prob (1 - theta/pi)^p, so for
+    cosine >= 0.95 (theta/pi ~ 0.1) and p=8 a band hits ~43% of the time and
+    8 bands give ~99% recall. Candidates = equi-join on (band, bucket) with
+    a hot-bucket cap; survivors are re-ranked with exact double-precision
+    cosine, so precision is exact and only recall is approximate.
+
+    vs :func:`embedding_near_dup_pairs`: O(N^2) all-pairs becomes
+    O(N * bands) bucket rows + a bounded-fanout equi-join."""
+    from cardinality_estimation_evaluation_framework_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    powers = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_keys(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) > 0                      # (n, bands*p)
+        keys = signs.reshape(len(mat), bands, planes_per_band) @ powers
+        return pd.Series(list(keys.astype(np.int64)))
+
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        vd.alias("v"),
+        norm.alias("nrm"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band", "bucket"),
+    )
+    if max_bucket_size is not None:
+        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
+        e = e.withColumn("_bsz", bsz).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .distinct()
+        .where(F.col("cosine") >= threshold)
     )

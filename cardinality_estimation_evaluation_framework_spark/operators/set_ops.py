@@ -55,8 +55,14 @@ class AdbfSetOperator:
 
     @staticmethod
     def _predict(register_probs: np.ndarray, cardinality: float) -> np.ndarray:
-        # P(register hit) = 1 - (1 - p_reg)^card (ref: :61-64)
-        return 1 - np.power(1 - register_probs, cardinality)
+        # P(register hit) = 1 - (1 - p_reg)^card (ref: :61-64).
+        # Noised/denoised inputs can drive the Venn arithmetic into a
+        # degenerate regime (intersection estimate > operand estimate →
+        # negative cardinality here); clamp to a valid probability instead
+        # of overflowing to inf/NaN. Clean-path values are untouched.
+        with np.errstate(over="ignore", invalid="ignore"):
+            r = 1 - np.power(1 - register_probs, cardinality)
+        return np.clip(np.nan_to_num(r, nan=0.0, posinf=1.0, neginf=0.0), 0.0, 1.0)
 
     def intersection(self, this, that):  # pragma: no cover - abstract
         raise NotImplementedError

@@ -5,7 +5,10 @@ ScenarioConfig / EvaluationConfig) and
 src/evaluations/data/evaluation_configs.py:134-195 (smoke_test scenarios:
 independent, remarketing(subset), fully_overlapping, sequentially
 correlated all/one — universe 200k, set size 40k (20k for seq-corr),
-20 sets, shared_prop 0.3).
+20 sets, shared_prop 0.5).
+
+The full grids (complete_test_with_selected_parameters etc.) live in
+config_grids.py and are registered here lazily.
 """
 
 from __future__ import annotations
@@ -53,9 +56,12 @@ class EvaluationConfig:
 
 
 def smoke_test(num_runs: int = 100, universe_size: int = 200_000,
-               num_sets: int = 20, set_size: int = 40_000) -> EvaluationConfig:
-    """The reference's smoke_test grid
-    (ref: evaluation_configs.py:134-195)."""
+               num_sets: int = 20, set_size: int | None = None) -> EvaluationConfig:
+    """The reference's smoke_test grid (ref: evaluation_configs.py:134-195):
+    set_size = 0.2 * universe, seq-corr set_size = 0.1 * universe,
+    shared_prop = 0.5. ``set_size`` can be overridden for small tests."""
+    if set_size is None:
+        set_size = int(universe_size * 0.2)
     seq_set_size = set_size // 2
     return EvaluationConfig(
         name="smoke_test",
@@ -82,13 +88,13 @@ def smoke_test(num_runs: int = 100, universe_size: int = 200_000,
             ScenarioConfig(
                 "sequentially_correlated_all",
                 sg.SequentiallyCorrelatedSetGenerator.factory_with_num_and_size(
-                    sg.ORDER_ORIGINAL, sg.CORRELATED_ALL, 0.3, num_sets, seq_set_size
+                    sg.ORDER_ORIGINAL, sg.CORRELATED_ALL, 0.5, num_sets, seq_set_size
                 ),
             ),
             ScenarioConfig(
                 "sequentially_correlated_one",
                 sg.SequentiallyCorrelatedSetGenerator.factory_with_num_and_size(
-                    sg.ORDER_ORIGINAL, sg.CORRELATED_ONE, 0.3, num_sets, seq_set_size
+                    sg.ORDER_ORIGINAL, sg.CORRELATED_ONE, 0.5, num_sets, seq_set_size
                 ),
             ),
         ],
@@ -140,8 +146,36 @@ def global_dp_stress_test(num_runs: int = 100) -> EvaluationConfig:
     )
 
 
+def _grid(name):
+    """Lazy import: config_grids imports sketches; avoid a cycle here."""
+    def factory(*args, **kwargs):
+        from cardinality_estimation_evaluation_framework_spark.simulation import (
+            config_grids,
+        )
+
+        return getattr(config_grids, name)(*args, **kwargs)
+
+    return factory
+
+
 EVALUATION_CONFIGS = {
     "smoke_test": smoke_test,
     "frequency_smoke_test": frequency_smoke_test,
     "global_dp_stress_test": global_dp_stress_test,
+    # full grids (ref: evaluation_configs.py:634-782)
+    "complete_test_with_selected_parameters": _grid(
+        "complete_test_with_selected_parameters"),
+    "complete_frequency_test_with_selected_parameters": _grid(
+        "complete_frequency_test_with_selected_parameters"),
+    "frequency_end_to_end_test": _grid("frequency_end_to_end_test"),
 }
+
+
+def get_evaluation_config(config_name: str):
+    """Name lookup with the reference's duplicate check
+    (ref: evaluation_configs.py:784-813)."""
+    if config_name not in EVALUATION_CONFIGS:
+        raise ValueError(
+            "Invalid evaluation config: {}\nValid choices are as follows: {}".format(
+                config_name, ",".join(EVALUATION_CONFIGS)))
+    return EVALUATION_CONFIGS[config_name]

@@ -50,6 +50,7 @@ class BloomKernel(SketchKernel):
         num_hashes: int = 1,
         seed: int = 0,
         value_fn: str = "or",
+        hash_kind: str = "splitmix",
         **dist_params: Any,
     ):
         if dist_kind != "uniform" and num_hashes != 1:
@@ -59,11 +60,22 @@ class BloomKernel(SketchKernel):
         self.num_hashes = num_hashes
         self.seed = seed
         self.value_fn = value_fn
+        self.hash_kind = hash_kind
         self.dist_params = dist_params
         self.dist = any_sketch.make_distribution(dist_kind, m=m, **dist_params)
+        if hash_kind == "farmhash":
+            # the reference's sub-seed derivation: one randint(sys.maxsize)
+            # per hash function from a RandomState(seed)
+            # (ref: any_sketch.py:343-348)
+            import sys
+
+            rs = np.random.RandomState(seed)
+            self._farmhash_seeds = [
+                int(rs.randint(sys.maxsize)) for _ in range(num_hashes)
+            ]
 
     def spec(self) -> dict[str, Any]:
-        return {
+        spec = {
             "type": "adbf",
             "dist": self.dist_kind,
             "m": self.m,
@@ -72,6 +84,9 @@ class BloomKernel(SketchKernel):
             "value_fn": self.value_fn,
             **{k: v for k, v in sorted(self.dist_params.items())},
         }
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {"registers": np.zeros(self.m, dtype=np.float64)}
@@ -81,7 +96,24 @@ class BloomKernel(SketchKernel):
             return state
         regs = state["registers"]
         for i in range(self.num_hashes):
-            h = hash64(values, seed=self.seed * 1_000_003 + i)
+            if self.hash_kind == "farmhash":
+                # reference hash path (str(id) + seeded farmhash64) —
+                # per-item Python, parity tests only
+                from cardinality_estimation_evaluation_framework_spark import (
+                    farmhash64,
+                )
+
+                h = np.array(
+                    [
+                        farmhash64.hash64_with_seed(
+                            str(int(v)), self._farmhash_seeds[i]
+                        )
+                        for v in values
+                    ],
+                    dtype=np.uint64,
+                )
+            else:
+                h = hash64(values, seed=self.seed * 1_000_003 + i)
             idx = self.dist.indexes(h)
             if self.value_fn == "or":
                 any_sketch.fold_or(regs, idx)
@@ -136,7 +168,10 @@ def first_moment_estimate(
         return -m * math.log(1 - x / m)
     if method == "log":
         # ref: bloom_filters.py:391-396
-        x = int(noiser(float(np.sum(regs))))
+        x_raw = noiser(float(np.sum(regs)))
+        if not math.isfinite(x_raw):
+            return float("nan")
+        x = int(x_raw)
         return x / (1 - x / m)
     if method == "exp":
         # ref: bloom_filters.py:398-424 — invert expected-bits curve
@@ -151,7 +186,10 @@ def first_moment_estimate(
                 + expi(-a * exp_a * reach / (exp_a - 1))
             ) / a
 
-        x = int(noiser(float(np.sum(regs))))
+        x_raw = noiser(float(np.sum(regs)))
+        if not math.isfinite(x_raw):
+            return float("nan")
+        x = int(x_raw)
         p = min(max(x / m, 0.0), 1.0)
         result = invert_monotonic(expected_num_bits, epsilon=1e-7)(p) * m
         assert result >= 0

@@ -43,7 +43,13 @@ from cardinality_estimation_evaluation_framework_spark.sketches.hll import (
 
 
 class FllKernel(SketchKernel):
-    def __init__(self, p: int = 14, seed: int = 0, max_freq: int = 15):
+    """``hash_kind="farmhash"`` hashes ``str(id)`` through pure-Python
+    FarmHash64-with-seed — the reference's exact hash path — enabling
+    register-exact parity tests (per-item Python, test-only; production is
+    vectorized splitmix64)."""
+
+    def __init__(self, p: int = 14, seed: int = 0, max_freq: int = 15,
+                 hash_kind: str = "splitmix"):
         if not (4 <= p <= 18):
             raise ValueError(f"p must be in [4, 18], got {p}")
         self.p = p
@@ -51,14 +57,18 @@ class FllKernel(SketchKernel):
         self.seed = seed
         self.max_freq = max_freq
         self.window = 64 - p
+        self.hash_kind = hash_kind
 
     def spec(self) -> dict[str, Any]:
-        return {
+        spec: dict[str, Any] = {
             "type": "fll++",
             "p": self.p,
             "seed": self.seed,
             "max_freq": self.max_freq,
         }
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {
@@ -68,7 +78,14 @@ class FllKernel(SketchKernel):
         }
 
     def _hash_parts(self, values: np.ndarray):
-        h = hash64(values, self.seed)
+        if self.hash_kind == "farmhash":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            h = np.array(
+                [farmhash64.hash64_with_seed(str(int(v)), self.seed) for v in values],
+                dtype=np.uint64,
+            )
+        else:
+            h = hash64(values, self.seed)
         bucket = (h >> np.uint64(self.window)).astype(np.int64)
         w = h & np.uint64((1 << self.window) - 1)
         rho = (self.window - bit_length_u64(w) + 1).astype(np.int64)

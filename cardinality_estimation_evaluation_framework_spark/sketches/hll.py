@@ -54,35 +54,100 @@ def _alpha(m: int) -> float:
 
 
 class HllKernel(SketchKernel):
-    def __init__(self, p: int = 14, seed: int = 0):
+    """HLL++ build/merge/estimate kernel.
+
+    Options beyond the production defaults:
+
+    - ``hash_kind="farmhash"``: hash ``str(id)`` through the pure-Python
+      FarmHash64-with-seed — the reference's exact hash path
+      (ref: hash_function.py:53-56). Per-item Python, for register-exact
+      parity tests only; the production path is vectorized splitmix64.
+    - ``sparse_mode=True``: keep the exact distinct set alongside the
+      registers and answer exactly below 6m distinct, matching the
+      reference's simplified sparse mode (ref: hyper_log_log.py:127-164,
+      "at the cost of using extra memory"). The sparse set rides in the
+      state (<= 6m int64s ~ 0.8 MB at p=14) and merges associatively;
+      default OFF — dense + linear counting covers most of the accuracy.
+    """
+
+    def __init__(self, p: int = 14, seed: int = 0, hash_kind: str = "splitmix",
+                 sparse_mode: bool = False):
         if not (4 <= p <= 18):
             raise ValueError(f"p must be in [4, 18], got {p}")
         self.p = p
         self.m = 1 << p
         self.seed = seed
         self.window = 64 - p  # bits available for rho
+        self.hash_kind = hash_kind
+        self.sparse_mode = sparse_mode
+        self.sparse_threshold = 6 * self.m  # ref: hyper_log_log.py:161
 
     def spec(self) -> dict[str, Any]:
-        return {"type": "hll++", "p": self.p, "seed": self.seed}
+        spec: dict[str, Any] = {"type": "hll++", "p": self.p, "seed": self.seed}
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        if self.sparse_mode:
+            spec["sparse_mode"] = True
+        return spec
+
+    def _hash(self, values: np.ndarray) -> np.ndarray:
+        if self.hash_kind == "farmhash":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            return np.array(
+                [farmhash64.hash64_with_seed(str(int(v)), self.seed) for v in values],
+                dtype=np.uint64,
+            )
+        return hash64(values, self.seed)
 
     def empty(self) -> State:
-        return {"registers": np.zeros(self.m, dtype=np.int8)}
+        state = {"registers": np.zeros(self.m, dtype=np.int8)}
+        if self.sparse_mode:
+            # sparse[-1] is the active flag; ids precede it, kept unique+sorted
+            state["sparse"] = np.array([1], dtype=np.int64)
+        return state
+
+    @staticmethod
+    def _sparse_ids(state: State) -> np.ndarray | None:
+        """Distinct ids while sparse mode is active, else None."""
+        sp = state.get("sparse")
+        if sp is None or sp[-1] != 1:
+            return None
+        return sp[:-1]
+
+    def _pack_sparse(self, ids: np.ndarray | None) -> np.ndarray:
+        if ids is None or len(ids) > self.sparse_threshold:
+            return np.array([0], dtype=np.int64)  # deactivated
+        return np.concatenate((ids.astype(np.int64), [1]))
 
     def update(self, state: State, values: np.ndarray) -> State:
         if len(values) == 0:
             return state
-        h = hash64(values, self.seed)
+        h = self._hash(values)
         bucket = (h >> np.uint64(self.window)).astype(np.int64)
         w = h & np.uint64((1 << self.window) - 1)
         rho = (self.window - bit_length_u64(w) + 1).astype(np.int8)
         np.maximum.at(state["registers"], bucket, rho)
+        if self.sparse_mode:
+            ids = self._sparse_ids(state)
+            if ids is not None:
+                ids = np.union1d(ids, np.asarray(values, dtype=np.int64))
+            state["sparse"] = self._pack_sparse(ids)
         return state
 
     def merge(self, a: State, b: State) -> State:
         # ref: hyper_log_log.py:232 — register-wise max
-        return {"registers": np.maximum(a["registers"], b["registers"])}
+        out = {"registers": np.maximum(a["registers"], b["registers"])}
+        if self.sparse_mode:
+            ia, ib = self._sparse_ids(a), self._sparse_ids(b)
+            merged = np.union1d(ia, ib) if (ia is not None and ib is not None) else None
+            out["sparse"] = self._pack_sparse(merged)
+        return out
 
     def estimate(self, state: State) -> list[float]:
+        ids = self._sparse_ids(state) if self.sparse_mode else None
+        if ids is not None:
+            # exact below threshold (ref: hyper_log_log.py:194-195)
+            return [float(len(ids))]
         regs = state["registers"].astype(np.float64)
         raw = _alpha(self.m) * self.m**2 / np.sum(np.exp2(-regs))
         v = int(np.count_nonzero(regs == 0))

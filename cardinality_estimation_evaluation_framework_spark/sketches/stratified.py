@@ -194,3 +194,48 @@ def stratified_sequential_estimate(
     for s in sketches[1:]:
         cur = estimator.merge_sketches(cur, s)
     return estimator.estimate_cardinality(cur)
+
+
+class StratifiedDriverKernel:
+    """Driver-mode kernel adapter: Simulator-protocol wrapper that builds a
+    :class:`StratifiedSketch` from ONE multiset of ids (duplicates encode
+    frequency), mirroring the reference's
+    ``StratifiedSketch.init_from_exact_multi_set``
+    (ref: stratified_sketch.py:152-214).
+
+    NOT batch-mergeable: frequencies split across two ``update`` calls would
+    land in the wrong levels, so this kernel is only for the driver-mode
+    Simulator (one ``update(empty(), whole_set)`` per set — exactly how the
+    Simulator calls it). The distributed build is :func:`build_stratified`
+    (one groupBy pass over all items).
+    """
+
+    associative = False
+
+    def __init__(self, base_kernel: SketchKernel, max_freq: int):
+        self.base = base_kernel
+        self.max_freq = max_freq
+
+    def _keys(self) -> list[str]:
+        return [str(k) for k in range(1, self.max_freq)] + [f"{self.max_freq}+", ONE_PLUS]
+
+    def empty(self) -> StratifiedSketch:
+        return StratifiedSketch(
+            self.base, self.max_freq, {k: self.base.empty() for k in self._keys()}
+        )
+
+    def update(self, ss: StratifiedSketch, ids: np.ndarray) -> StratifiedSketch:
+        ids = np.asarray(ids, dtype=np.int64)
+        uniq, counts = np.unique(ids, return_counts=True)
+        counts = np.minimum(counts, self.max_freq)
+        sketches = dict(ss.sketches)
+        for lvl in range(1, self.max_freq + 1):
+            members = uniq[counts == lvl]
+            key = str(lvl) if lvl < self.max_freq else f"{self.max_freq}+"
+            if len(members):
+                sketches[key] = self.base.update(sketches[key], members)
+        if len(uniq):
+            # epsilon_split=0 path: 1+ built from the exact distinct set
+            # (ref: stratified_sketch.py:174-183)
+            sketches[ONE_PLUS] = self.base.update(sketches[ONE_PLUS], uniq)
+        return StratifiedSketch(self.base, self.max_freq, sketches)

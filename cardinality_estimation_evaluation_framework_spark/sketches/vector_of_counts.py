@@ -136,7 +136,12 @@ class PairwiseEstimator:
         return {"stats": a + b - share}
 
     def clip_empty(self, state: State) -> State:
-        """Zero out a likely-empty noisy sketch (ref: vector_of_counts.py:324-331)."""
+        """Zero out a likely-empty noisy sketch (ref: vector_of_counts.py:324-331).
+
+        With epsilon = inf (no local noise) the noise std is 0, so there is
+        nothing to clip — return the state untouched."""
+        if not math.isfinite(self.epsilon):
+            return state
         nb = len(state["stats"])
         z = float(np.sum(state["stats"])) / (math.sqrt(nb * 2) / self.epsilon)
         if z < self.clip_threshold:
