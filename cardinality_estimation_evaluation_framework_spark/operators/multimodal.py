@@ -117,14 +117,26 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, fake: bool = True
     Frame decode itself goes through the same stub seam."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n_frames = max(1, len(r["payload"] or b"") // 1024)
-                for fi in range(0, n_frames, every_nth):
-                    if not fake:
-                        raise NotImplementedError("no video codec in this environment")
-                    rows.append((r["media_id"], fi, float(fi) / n_frames))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "ts_fraction"])
+            if not fake:
+                raise NotImplementedError("no video codec in this environment")
+            # vectorized fan-out: frame count per row -> repeat + ranges,
+            # no per-row Python
+            n_frames = np.maximum(
+                pdf["payload"].map(lambda b: len(b or b"")).to_numpy(np.int64) // 1024,
+                1,
+            )
+            n_sampled = (n_frames + every_nth - 1) // every_nth
+            bounds = np.concatenate(([0], np.cumsum(n_sampled)))
+            local = np.arange(bounds[-1]) - np.repeat(bounds[:-1], n_sampled)
+            frame_index = (local * every_nth).astype(np.int32)
+            row_of = np.repeat(np.arange(len(pdf)), n_sampled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_of],
+                    "frame_index": frame_index,
+                    "ts_fraction": frame_index / n_frames[row_of],
+                }
+            )
 
     return media.where(F.col("modality") == "video").mapInPandas(
         run, schema="media_id string, frame_index int, ts_fraction double"

@@ -162,40 +162,57 @@ def fingerprint_sql(text_col: str = "text") -> str:
 
 def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
                              window: int = 16) -> DataFrame:
-    """True polynomial rolling-hash fingerprint (winnowing-style min over
-    rolling window hashes) as an Arrow-vectorized pandas UDF — the byte-level
-    control path the Catalyst md5 variant can't express."""
+    """Polynomial rolling-hash fingerprint (winnowing-style min over all
+    window hashes) — the byte-level control path the Catalyst md5 variant
+    can't express.
+
+    Fully vectorized across the batch: every window of every document in an
+    Arrow batch is hashed by ONE Horner loop of ``window`` (=16) vectorized
+    steps over a flat byte array, then per-doc mins come from one
+    ``minimum.reduceat``. No per-document or per-window Python loops.
+    Hash: Horner mod p = 2^31-1 with base 1000003 (products stay < 2^52,
+    exact in int64)."""
 
     @F.pandas_udf("long")
     def rolling_fp(texts: pd.Series) -> pd.Series:
-        base = np.uint64(1000003)
-        mod_mask = np.uint64(2**61 - 1)
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts.fillna("")):
-            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-            if len(b) == 0:
-                continue
-            if len(b) < window:
-                h = np.uint64(0)
-                for ch in b:
-                    h = (h * base + ch) & mod_mask
-                out[i] = int(h)
-                continue
-            # rolling hashes of all windows, vectorized via cumulative powers
-            powers = np.ones(window, dtype=np.uint64)
-            for j in range(1, window):
-                powers[j] = (powers[j - 1] * base) & mod_mask
-            n_win = len(b) - window + 1
-            hashes = np.zeros(n_win, dtype=np.uint64)
-            h = np.uint64(0)
-            for j in range(window):
-                h = (h * base + b[j]) & mod_mask
-            hashes[0] = h
-            top_pow = powers[-1]
-            for j in range(1, n_win):
-                h = ((h - b[j - 1] * top_pow) * base + b[j + window - 1]) & mod_mask
-                hashes[j] = h
-            out[i] = int(hashes.min())  # winnowing: min window hash
+        base = np.int64(1_000_003)
+        p = np.int64(2**31 - 1)
+        enc = texts.fillna("").str.encode("utf-8", "ignore")
+        lens = enc.str.len().to_numpy(np.int64)
+        out = np.zeros(len(enc), dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        allb = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+        # full-length docs: hash every window with one vectorized Horner loop
+        n_win = np.maximum(lens - window + 1, 0)
+        total = int(n_win.sum())
+        if total:
+            doc_bounds = np.concatenate(([0], np.cumsum(n_win)))
+            # global byte offset of each window start, across all docs
+            offs = (np.repeat(starts, n_win)
+                    + np.arange(total) - np.repeat(doc_bounds[:-1], n_win))
+            h = np.zeros(total, dtype=np.int64)
+            for t in range(window):
+                h = (h * base + allb[offs + t]) % p
+            has = n_win > 0
+            mins = np.minimum.reduceat(h, doc_bounds[:-1][has])
+            out[has] = mins
+
+        # short docs (< window bytes): Horner over the whole string, same
+        # vectorized loop with a validity mask
+        short = (lens > 0) & (lens < window)
+        if short.any():
+            s_start, s_len = starts[short], lens[short]
+            hs = np.zeros(len(s_start), dtype=np.int64)
+            for t in range(window - 1):
+                m = t < s_len
+                if not m.any():
+                    break
+                hs[m] = (hs[m] * base + allb[s_start[m] + t]) % p
+            out[short] = hs
+
         return pd.Series(out)
 
     return df.withColumn("rolling_fp", rolling_fp(F.col(text_col)))

@@ -27,10 +27,41 @@ def test_io_iceberg_clear_error(spark):
 
 @pytest.mark.skipif(farmhash_or_none() is None, reason="farmhash not installed")
 def test_farmhash_bit_parity():
-    """When the real farmhash is present, pin bit-parity with the reference's
-    hashing convention (ref: hash_function.py:53-56)."""
+    """When the real farmhash C extension is present, pin our pure-Python
+    FarmHash64 bit-for-bit against it (ref hash path: hash_function.py:53-56).
+    All register-parity tests (test_reference_parity.py) route BOTH sides
+    through the pure-Python implementation, so they hold either way; this
+    test additionally anchors that implementation to the C library."""
     fh = farmhash_or_none()
-    assert fh.hash64withseed(str(123), 7) == fh.hash64withseed("123", 7)
+    if getattr(fh, "__is_pure_python_shim__", False):
+        pytest.skip("only the pure-python shim is installed")
+    from cardinality_estimation_evaluation_framework_spark import farmhash64
+
+    rng = np.random.RandomState(0)
+    samples = [str(int(x)) for x in rng.randint(0, 2**62, size=200)]
+    samples += ["", "a", "abc", "x" * 16, "y" * 17, "z" * 32, "w" * 33,
+                "q" * 64, "r" * 65, "s" * 200]
+    for s in samples:
+        assert farmhash64.hash64(s) == fh.hash64(s), s
+        assert farmhash64.hash64_with_seed(s, 7) == fh.hash64withseed(s, 7), s
+
+
+def test_pure_python_farmhash64_self_consistency():
+    """Deterministic, seed-sensitive, all length paths covered (0-16, 17-32,
+    33-64, >64) — runs regardless of the C library."""
+    from cardinality_estimation_evaluation_framework_spark import farmhash64 as fh
+
+    assert fh.hash64("") == fh.K2
+    lens = [1, 3, 4, 7, 8, 15, 16, 17, 31, 32, 33, 63, 64, 65, 128, 200]
+    vals = {fh.hash64("x" * n) for n in lens}
+    assert len(vals) == len(lens)  # no collisions across length paths
+    assert fh.hash64_with_seed("123", 1) != fh.hash64_with_seed("123", 2)
+    assert fh.hash64_with_seed("123", 1) == fh.hash64_with_seed("123", 1)
+    # uniform-ish spread: bit balance over a small sample
+    bits = np.array(
+        [bin(fh.hash64_with_seed(str(i), 9)).count("1") for i in range(500)]
+    )
+    assert 28 < bits.mean() < 36
 
 
 def test_report_generation(tmp_path):

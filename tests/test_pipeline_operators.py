@@ -148,6 +148,36 @@ def test_embedding_near_dup(emb):
         assert r["cosine"] >= 0.99
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """The banded-LSH pair path (the scale path) recovers planted near-dups
+    found by the exact all-pairs operator, with exact precision (survivors
+    are re-ranked with exact cosine)."""
+    rng = np.random.RandomState(4)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, [float(x) for x in base[i]])); vid += 1
+        if i % 4 == 0:  # plant a near-duplicate: tiny perturbation
+            rows.append((vid, [float(x) for x in base[i] + rng.normal(scale=0.01, size=16)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.98).collect()
+    }
+    lsh_rows = dedup.embedding_near_dup_pairs_lsh(
+        df, threshold=0.98, bands=8, planes_per_band=8, seed=7
+    ).collect()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_rows}
+    assert len(exact) >= 10  # the planted dups are found by the exact path
+    # precision is exact by construction; recall high by the band math
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+    for r in lsh_rows:
+        assert r["cosine"] >= 0.98
+
+
 # ---------------- similarity ----------------
 
 def test_brute_force_topk(emb):

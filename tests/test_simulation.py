@@ -182,3 +182,71 @@ def test_evaluator_and_analyzer(spark, tmp_path):
             assert n == 4, (est, scen, n)
     stats = analyzer.relative_error_stats_at_estimable(metric, results)
     assert stats.count() == 10
+
+
+def test_to_long_format_golden(spark):
+    """Golden case ported from ref analyzer_test.py:311-346."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_spark.simulation.analyzer import (
+        to_long_format,
+    )
+
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "estimator": ["some_sketch"] * 4,
+                "scenario": ["some_scenario"] * 4,
+                "run_index": [0, 0, 1, 1],
+                "num_sets": [1, 2, 1, 2],
+                "true_cardinality_1": [10, 20, 10, 20],
+                "true_cardinality_2": [5, 10, 5, 10],
+                "estimated_cardinality_1": [11, 21, 12, 22],
+                "estimated_cardinality_2": [4, 9, 3, 8],
+            }
+        )
+    )
+    long_df = to_long_format(raw, max_freq=2).toPandas()
+    assert len(long_df) == 16
+    assert set(long_df.columns) >= {
+        "source", "frequency_level", "cardinality", "num_sets", "run_index"
+    }
+    # the reference's expected values, keyed by (source, level, run, num_sets)
+    key = long_df.set_index(
+        ["source", "frequency_level", "run_index", "num_sets"]
+    )["cardinality"]
+    assert key[("true", 1, 0, 1)] == 10
+    assert key[("true", 2, 1, 2)] == 10
+    assert key[("estimated", 1, 1, 2)] == 22
+    assert key[("estimated", 2, 0, 1)] == 4
+    assert (long_df.groupby("source").size() == 8).all()
+
+
+def test_per_frequency_cardinality_golden(spark):
+    """Golden case ported from ref analyzer_test.py:348-379: k+ cumulative
+    [6,4] -> per-level [2,4]; [7,3] -> [4,3]."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_spark.simulation.analyzer import (
+        per_frequency_cardinality,
+    )
+
+    long_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "estimator": ["some_sketch"] * 4,
+                "scenario": ["some_scenario"] * 4,
+                "run_index": [0] * 4,
+                "num_sets": [1] * 4,
+                "cardinality": [6, 4, 7, 3],
+                "source": ["true", "true", "estimated", "estimated"],
+                "frequency_level": [1, 2, 1, 2],
+            }
+        )
+    )
+    out = per_frequency_cardinality(
+        long_df, ["estimator", "scenario", "run_index", "num_sets"]
+    ).toPandas()
+    got = out.set_index(["source", "frequency_level"])["per_frequency_cardinality"]
+    assert got[("true", 1)] == 2 and got[("true", 2)] == 4
+    assert got[("estimated", 1)] == 4 and got[("estimated", 2)] == 3
