@@ -233,6 +233,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH embedding near-dup pairs (the scale path:
+    equi-join on (band, bucket) + exact cosine re-rank, hot-bucket capped).
+    Precision is exact (survivors re-ranked with exact double cosine); at
+    these band settings (16 bands x 3 planes, recall ~1-(1-0.63^3)^16) the
+    candidate union covers every >=0.4 pair of this table, so the oracle is
+    the same exact-pair SQL as embedding_near_dup — a hash-exact gate row
+    for the LSH path. Production near-dup thresholds (>=0.95) use the
+    deeper 8x8 banding (see dedup.embedding_near_dup_pairs_lsh defaults)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    return dedup_ops.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.4, bands=16, planes_per_band=3, seed=7
+    )
+
+
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus with planted near-duplicates (the synthetic docs
     have no natural near-dups, so the dedup queries would be vacuous):
@@ -387,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "similarity_search": q_similarity_search,
@@ -494,6 +512,22 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "embedding_near_dup": """
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 300
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+""",
+        "embedding_near_dup_lsh": """
 WITH ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          generate_subscripts(embedding, 1) AS i

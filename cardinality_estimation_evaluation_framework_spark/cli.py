@@ -32,7 +32,10 @@ def parse_args(argv=None):
                    choices=sorted(EVALUATION_CONFIGS))
     p.add_argument("--sketch_estimator_configs", nargs="+",
                    default=["exact", "exp_adbf"],
-                   choices=sorted(ESTIMATOR_CONFIGS))
+                   help="short registry names (e.g. exp_adbf) or full "
+                        "reference-grammar names from the config grids "
+                        "(e.g. exp_bloom_filter-100000_10-first_moment_exp-"
+                        "no_local_dp-no_global_dp)")
     p.add_argument("--run_name", default="run")
     p.add_argument("--num_runs", type=int, default=100)
     p.add_argument("--universe_size", type=int, default=None)
@@ -61,12 +64,24 @@ def main(argv=None) -> int:
         if getattr(args, k) is not None:
             cfg_kwargs[k] = getattr(args, k)
     evaluation_config = EVALUATION_CONFIGS[args.evaluation_config](**cfg_kwargs)
+    # short registry names resolve through ESTIMATOR_CONFIGS; anything else
+    # is looked up in the full reference-grammar registries
+    # (ref: evaluation_configs.py:1730-1762)
+    short = [n for n in args.sketch_estimator_configs if n in ESTIMATOR_CONFIGS]
+    full = [n for n in args.sketch_estimator_configs if n not in ESTIMATOR_CONFIGS]
     overrides = {}
     if args.max_frequency > 1:
-        for n in args.sketch_estimator_configs:
+        for n in short:
             if n in ("exact", "less_one", "fll", "ska"):
                 overrides[n] = {"max_frequency": args.max_frequency}
-    estimator_configs = get_estimator_configs(args.sketch_estimator_configs, **overrides)
+    estimator_configs = get_estimator_configs(short, **overrides)
+    if full:
+        from cardinality_estimation_evaluation_framework_spark.simulation.config_grids import (
+            get_estimator_configs_by_name,
+        )
+
+        estimator_configs += get_estimator_configs_by_name(
+            full, max_frequency=max(args.max_frequency, 2))
 
     out_dir = os.path.join(args.out_dir, args.run_name)
     print(f"[evaluate] {evaluation_config.name}: "

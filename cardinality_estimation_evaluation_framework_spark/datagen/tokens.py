@@ -62,14 +62,35 @@ def tokens_exploded(docs: DataFrame) -> DataFrame:
 
 
 def vocab(docs: DataFrame) -> DataFrame:
-    """(tok string, tid long) — dense ids; |V| is small, the global window
-    over *distinct* tokens is intentional (oracle-parity path only)."""
-    w = Window.orderBy("tok")
+    """(tok string, tid long) — dense 0-based ids in sorted-token order
+    (identical mapping to ``dense_rank() OVER (ORDER BY tok) - 1`` on the
+    distinct vocabulary — the DuckDB oracle's VOCAB_CTE).
+
+    Distributed global indexing WITHOUT the single-partition window: range-
+    partition the distinct vocabulary by token, row_number within each
+    partition (partition-local window), then add the per-partition start
+    offsets (one tiny groupBy-count collected to the driver). Scales to any
+    vocabulary size; no stage sees more than one partition's tokens."""
+    spark = docs.sparkSession
+    distinct = tokens_exploded(docs).select("tok").distinct()
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = distinct.repartitionByRange(nparts, "tok").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in
+             ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("tok")
     return (
-        tokens_exploded(docs)
-        .select("tok")
-        .distinct()
-        .withColumn("tid", (F.dense_rank().over(w) - 1).cast("long"))
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("tid", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .select("tok", "tid")
     )
 
 

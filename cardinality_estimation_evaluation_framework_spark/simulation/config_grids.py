@@ -453,20 +453,13 @@ def frequency_end_to_end_test(num_runs: int = NUM_RUNS_VALUE,
 def stress_test_cardinality_global_dp(num_runs: int = NUM_RUNS_VALUE,
                                       universe_size: int | None = None
                                       ) -> EvaluationConfig:
-    """Disjoint single sets of growing reach (ref: evaluation_configs.py:739-756)."""
-    _ = universe_size
-    return EvaluationConfig(
-        name="global_dp_stress_test",
-        num_runs=num_runs,
-        scenario_config_list=[
-            ScenarioConfig(
-                name=f"{scenario_id}-reach:{reach}",
-                set_generator_factory=(
-                    lambda rs, _r=reach: sg.DisjointSetGenerator([_r], rs)),
-            )
-            for scenario_id, reach in enumerate(sorted(REACH_STRESS_TEST))
-        ],
+    """Disjoint single sets of growing reach (ref: evaluation_configs.py:739-756).
+    Canonical implementation lives in configs.global_dp_stress_test."""
+    from cardinality_estimation_evaluation_framework_spark.simulation.configs import (
+        global_dp_stress_test,
     )
+
+    return global_dp_stress_test(num_runs=num_runs, universe_size=universe_size)
 
 
 # ---------------------------------------------------------------------------

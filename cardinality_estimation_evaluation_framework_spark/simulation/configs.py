@@ -131,17 +131,22 @@ def frequency_smoke_test(num_runs: int = 100, universe_size: int = 200_000,
     )
 
 
-def global_dp_stress_test(num_runs: int = 100) -> EvaluationConfig:
-    """Disjoint sets of growing reach (ref: evaluation_configs.py:738-755)."""
+def global_dp_stress_test(num_runs: int = 100,
+                          universe_size: int | None = None) -> EvaluationConfig:
+    """Single disjoint sets of growing reach, reference-exact scenario grid
+    (ref: evaluation_configs.py:739-756: one set per scenario, reach
+    1e3..1e7, scenario names '<id>-reach:<reach>')."""
+    _ = universe_size  # accepted to conform to run_evaluation, like the ref
+    reaches = [1_000, 10_000, 100_000, 1_000_000, 10_000_000]
     return EvaluationConfig(
         name="global_dp_stress_test",
         num_runs=num_runs,
         scenario_config_list=[
             ScenarioConfig(
-                f"disjoint_reach_{int(size)}",
-                sg.DisjointSetGenerator.factory_with_num_and_size(10, int(size)),
+                f"{scenario_id}-reach:{reach}",
+                (lambda rs, _r=reach: sg.DisjointSetGenerator([_r], rs)),
             )
-            for size in (1e3, 1e4, 1e5)
+            for scenario_id, reach in enumerate(reaches)
         ],
     )
 
