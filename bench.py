@@ -31,6 +31,7 @@ from cardinality_estimation_evaluation_framework_spark.operators import (
     aggregate as agg,
     dedup as dedup_ops,
     similarity as sim_ops,
+    sql_sketch,
 )
 from cardinality_estimation_evaluation_framework_spark.session import get_spark
 from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
@@ -107,6 +108,21 @@ def main() -> None:
     tokens_per_sec = n_tokens / sec if sec > 0 else 0.0
     hll_est = HllKernel(p=14, seed=42).estimate(suite.child(state, "hll"))[0]
 
+    # pure-Catalyst single-sketch HLL build (zero Python) — the scan-speed
+    # path (operators/sql_sketch.py). Measured tradeoff: single-sketch SQL
+    # builds beat the Arrow kernel (no Python worker traffic); MULTI-sketch
+    # suites favor the Arrow kernel because the SQL union-aggregation fans
+    # every token into (1 + 1 + depth) rows (see BENCH/BASELINE.md).
+    synth_items = synth_token_items(spark, SYNTH_DOCS, SYNTH_PARTS)
+    sec1, _ = timed(lambda: sql_sketch.hll_registers_sql(
+        synth_items, p=14, seed=42).count())
+    sec2, _ = timed(lambda: sql_sketch.hll_registers_sql(
+        synth_items, p=14, seed=42).count())
+    sec_sql = min(sec1, sec2)
+    queries["hll_build_sql_synth"] = sec_sql
+    tokens_per_sec_sql = n_tokens / sec_sql if sec_sql > 0 else 0.0
+    hll_sql_est = sql_sketch.hll_estimate_sql(synth_items, p=14, seed=42)
+
     payload = {
         "metric": "bench_total_sec",
         "unit": "sec",
@@ -114,7 +130,9 @@ def main() -> None:
         "cpus": CPUS,
         "synth_tokens": n_tokens,
         "tokens_per_sec_suite_build": round(tokens_per_sec),
+        "tokens_per_sec_hll_sql": round(tokens_per_sec_sql),
         "hll_estimate": round(hll_est),
+        "hll_estimate_sql": round(hll_sql_est),
     }
 
     if not args.scaling:
@@ -126,6 +144,11 @@ def main() -> None:
 
         sec, _ = timed(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
         queries["hll_build_docs"] = sec
+
+        sec, _ = timed(
+            lambda: sql_sketch.hll_registers_sql(tok_items, p=12, seed=7).count()
+        )
+        queries["hll_build_sql_docs"] = sec
 
         tok_src = tk.tokenize_hashed(docs).select(
             "source", F.explode("tokens").alias("t")

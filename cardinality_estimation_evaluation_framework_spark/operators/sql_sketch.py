@@ -1,0 +1,246 @@
+"""Pure-Catalyst (zero-Python) sketch builds — the scan-speed path.
+
+The Arrow JVM->Python transfer is the throughput ceiling of the pandas
+kernels (~6.5M rows/s machine-wide in this sandbox regardless of cores).
+These builders express the ENTIRE sketch update in Spark SQL built-ins
+(xxhash64 + bit ops + groupBy with map-side partial aggregation), so the
+hot path stays inside whole-stage codegen and scales with the scan:
+
+- HLL++: bucket = top-p bits of xxhash64, rho = leading zeros of the low
+  window + 1; ``groupBy(bucket).max(rho)`` — partial max per partition,
+  shuffle carries at most m rows per partition.
+- count-min: depth seeded hashes -> ``groupBy(r, bucket).count()`` (counts
+  are exact aggregates, so the SQL build is exactly a count-min table).
+- exponential ADBF: the register distribution is a truncated geometric in
+  disguise (probs_i ∝ q^(i+1) with q = exp(-a/(m+1))), so the inverse CDF
+  has the closed form i = ceil(log1p(-u*(1-q^m)) / ln q) - 1 — one float
+  expression instead of a searchsorted kernel.
+
+Each builder returns a register-level DataFrame AND a ``*_state`` twin that
+collects it into the matching kernel State, so estimates reuse the tested
+estimator formulas. Seeding: ``xxhash64(lit(seed), col)`` gives an
+independent hash family per seed (xxhash64 is Spark's native 64-bit hash;
+estimator accuracy bounds are distribution-level, so the Python kernels'
+splitmix64 and this path are interchangeable statistically — pinned by
+tests against exact counts and against each other's estimates).
+
+Semantics note (rho): Java ``log2`` on doubles is exact for w < 2^53, i.e.
+window <= 53 bits (p >= 11). For smaller p the bit length falls back to
+``length(bin(w))`` (exact at any width, slightly slower).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.sketches.base import State
+from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
+    CountMinKernel,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.hll import (
+    THRESHOLD,
+    _alpha,
+)
+
+
+def _seeded_hash(col, seed: int):
+    """Independent 64-bit hash family: xxhash64(seed, x)."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+def _bit_length(col, max_bits: int):
+    """Exact bit length of a non-negative long column."""
+    if max_bits <= 53:
+        # float64 path: exact below 2^53
+        return F.floor(F.log2(col)) + 1
+    return F.length(F.bin(col))
+
+
+def hll_registers_sql(items: DataFrame, p: int = 14, seed: int = 0,
+                      col: str = "item") -> DataFrame:
+    """(bucket int, rho int) HLL++ register table, built entirely JVM-side.
+
+    Plan shape: scan -> codegen project (hash/shift/mask) -> partial max ->
+    exchange of <= m rows/partition -> final max. No Python anywhere.
+    """
+    window = 64 - p
+    h = _seeded_hash(F.col(col), seed)
+    bucket = F.shiftrightunsigned(h, window).cast("int")
+    w = h.bitwiseAND(F.lit((1 << window) - 1))
+    rho = (
+        F.when(w == 0, F.lit(window + 1))
+        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
+        .cast("int")
+    )
+    return (
+        items.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_sql(items: DataFrame, p: int = 14, seed: int = 0,
+                     col: str = "item") -> float:
+    """Distinct-count estimate from the SQL register build (HLL++ formula
+    with linear-counting fallback, same as HllKernel.estimate)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int8)
+    for r in hll_registers_sql(items, p, seed, col).collect():
+        regs[r["bucket"]] = r["rho"]
+    raw = _alpha(m) * m**2 / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    v = int(np.count_nonzero(regs == 0))
+    if v != 0:
+        lc = m * math.log(m / v)
+        if lc <= THRESHOLD[p]:
+            return float(lc)
+    return float(raw)
+
+
+def countmin_table_sql(items: DataFrame, width: int = 2048, depth: int = 5,
+                       seed: int = 0, col: str = "item") -> DataFrame:
+    """(r int, bucket int, cnt long) count-min table, JVM-side.
+
+    One explode of depth hash rows per item, then a counted groupBy —
+    map-side combine keeps the shuffle at <= depth*width rows/partition.
+    """
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(_seeded_hash(F.col(col), seed * 31 + r), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ])
+    )
+    return (
+        items.select(rows.alias("rb"))
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_state_sql(items: DataFrame, width: int = 2048, depth: int = 5,
+                       seed: int = 0, col: str = "item") -> tuple[CountMinKernel, State]:
+    """Collect the SQL table into a CountMinKernel state (the kernel's
+    query/estimate formulas apply unchanged; note the hash family is
+    xxhash64-based, so states from this path merge with each other, not
+    with splitmix-built states — the spec marks them)."""
+    kernel = CountMinKernel(width=width, depth=depth, seed=seed)
+    n = items.count()
+    state = kernel.empty()
+    for r in countmin_table_sql(items, width, depth, seed, col).collect():
+        state["table"][r["r"], r["bucket"]] = r["cnt"]
+    state["n"][0] = n
+    return kernel, state
+
+
+def exp_adbf_registers_sql(items: DataFrame, m: int = 65536,
+                           decay_rate: float = 10.0, seed: int = 0,
+                           col: str = "item") -> DataFrame:
+    """(bucket int) active-register set of an exponential ADBF, JVM-side.
+
+    probs_i ∝ exp(-a(i+1)/(m+1)) = q^(i+1), q = exp(-a/(m+1)) — a truncated
+    geometric, so bounds_i = (1-q^(i+1))/(1-q^m) and the searchsorted
+    becomes the closed form i = ceil(ln(1-u(1-q^m)) / ln q) - 1 with
+    u = hash/2^64 in [0,1). Register-identical to the numpy inverse-CDF up
+    to float boundary ulps (distribution-level identical; estimator bounds
+    unaffected), pinned statistically in tests.
+    """
+    a = decay_rate
+    q = math.exp(-a / (m + 1))
+    one_minus_qm = 1.0 - q**m
+    lnq = math.log(q)
+    h = _seeded_hash(F.col(col), seed)
+    # uint64 -> [0,1): reinterpret the signed long as unsigned
+    u = (h.cast("double") / F.lit(float(2**64))) + F.when(
+        h < 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    idx = F.ceil(
+        F.log1p(-u * F.lit(one_minus_qm)) / F.lit(lnq)
+    ) - 1
+    bucket = F.greatest(F.lit(0), F.least(F.lit(m - 1), idx)).cast("int")
+    return items.select(bucket.alias("bucket")).distinct()
+
+
+def exp_adbf_estimate_sql(items: DataFrame, m: int = 65536,
+                          decay_rate: float = 10.0, seed: int = 0,
+                          col: str = "item") -> float:
+    """First-moment 'exp' estimate from the SQL register build (reuses the
+    tested expi-based inversion from sketches.bloom)."""
+    from cardinality_estimation_evaluation_framework_spark.sketches.bloom import (
+        BloomKernel,
+        first_moment_estimate,
+    )
+
+    kernel = BloomKernel(dist_kind="exponential", m=m, seed=seed,
+                         decay_rate=decay_rate)
+    active = [r["bucket"] for r in
+              exp_adbf_registers_sql(items, m, decay_rate, seed, col).collect()]
+    state = kernel.empty()
+    state["registers"][np.asarray(active, dtype=np.int64)] = 1.0
+    return first_moment_estimate(kernel, state, method="exp")
+
+
+def suite_build_sql(items: DataFrame, p: int = 14, cm_width: int = 4096,
+                    cm_depth: int = 4, adbf_m: int = 65536,
+                    adbf_decay: float = 10.0, seed: int = 0,
+                    col: str = "item") -> DataFrame:
+    """HLL + count-min + exp-ADBF in ONE aggregation: every item fans out
+    to (sketch, key) rows and a single counted/max groupBy builds all three
+    register tables — one scan, one (map-side combined) shuffle whose width
+    is bounded by total register count per partition, zero Python.
+
+    Output: (sketch string, r int, bucket int, val long) where val is rho
+    for 'hll', the count for 'cm', and 1 for 'adbf'.
+    """
+    window = 64 - p
+    h = _seeded_hash(F.col(col), seed)
+    w = h.bitwiseAND(F.lit((1 << window) - 1))
+    rho = (
+        F.when(w == 0, F.lit(window + 1))
+        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
+        .cast("long")
+    )
+    a = adbf_decay
+    q = math.exp(-a / (adbf_m + 1))
+    u = (h.cast("double") / F.lit(float(2**64))) + F.when(
+        h < 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    adbf_idx = F.ceil(F.log1p(-u * F.lit(1.0 - q**adbf_m)) / F.lit(math.log(q))) - 1
+    adbf_bucket = F.greatest(F.lit(0), F.least(F.lit(adbf_m - 1), adbf_idx)).cast("int")
+
+    fan = F.explode(
+        F.array(
+            F.struct(
+                F.lit("hll").alias("sketch"), F.lit(0).alias("r"),
+                F.shiftrightunsigned(h, window).cast("int").alias("bucket"),
+                rho.alias("v"),
+            ),
+            F.struct(
+                F.lit("adbf").alias("sketch"), F.lit(0).alias("r"),
+                adbf_bucket.alias("bucket"), F.lit(1).cast("long").alias("v"),
+            ),
+            *[
+                F.struct(
+                    F.lit("cm").alias("sketch"), F.lit(r).alias("r"),
+                    F.pmod(_seeded_hash(F.col(col), seed * 31 + r), F.lit(cm_width))
+                    .cast("int").alias("bucket"),
+                    F.lit(1).cast("long").alias("v"),
+                )
+                for r in range(cm_depth)
+            ],
+        )
+    )
+    fanned = items.select(fan.alias("f")).select("f.sketch", "f.r", "f.bucket", "f.v")
+    return fanned.groupBy("sketch", "r", "bucket").agg(
+        # max == rho-merge for hll; sum == count for cm; max(1)=1 for adbf
+        F.when(F.col("sketch") == "cm", F.sum("v"))
+        .otherwise(F.max("v"))
+        .alias("val")
+    )
