@@ -250,3 +250,40 @@ def test_per_frequency_cardinality_golden(spark):
     got = out.set_index(["source", "frequency_level"])["per_frequency_cardinality"]
     assert got[("true", 1)] == 2 and got[("true", 2)] == 4
     assert got[("estimated", 1)] == 4 and got[("estimated", 2)] == 3
+
+
+def test_basic_comparison_example_runs(capsys):
+    """The examples/basic_comparison.py twin of the reference's example
+    script runs every estimator family end-to-end."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import basic_comparison
+
+    rc = basic_comparison.main([
+        "--number_of_trials", "1", "--universe_size", "5000",
+        "--set_size", "200", "--sketch_size", "1024", "--number_of_sets", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for name in ("hyper_log_log", "freq_log_log", "vector_of_counts",
+                 "exact-stratified", "cascading_legions"):
+        assert name in out
+
+
+def test_barplot_frequency_distributions(tmp_path):
+    import pandas as pd
+
+    pytest.importorskip("matplotlib")
+    from cardinality_estimation_evaluation_framework_spark.simulation.report import (
+        barplot_frequency_distributions,
+    )
+
+    long_df = pd.DataFrame({
+        "frequency_level": [1, 2, 1, 2],
+        "cardinality": [10, 5, 11, 4],
+        "source": ["true", "true", "estimated", "estimated"],
+    })
+    out = barplot_frequency_distributions(long_df, str(tmp_path / "bar.png"))
+    assert out and (tmp_path / "bar.png").exists()
