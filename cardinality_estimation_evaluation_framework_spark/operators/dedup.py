@@ -1,5 +1,5 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
-embedding-cosine near-dup.
+embedding-cosine near-dup (all-pairs oracle + banded-LSH scale path).
 
 Scale design (100 TB posture):
 - exact dedup: hash-groupBy on a fingerprint — one shuffle of (hash, id).
@@ -7,13 +7,21 @@ Scale design (100 TB posture):
   small-scale path; the production path is MinHash+LSH which turns the
   quadratic join into a band-bucket equi-join (shuffle keyed on
   (band, bucket-signature)) followed by exact verification of candidates.
+- signature builds shuffle ZERO raw grams/tokens: each Arrow batch emits
+  per-doc partial signatures/accumulators (O(KB)) that a groupBy merges
+  (min for minhash, sum for simhash bit counts) — the only shuffled rows
+  are the per-doc partials. PLANS.md section 6 asserts this plan shape.
 - SimHash: 64-bit signature per doc (one pass), near-dup = hamming <= k
   within LSH buckets on signature chunks.
-- embedding cosine: exact pair join for the gate; LSH hyperplane buckets as
-  the ANN path (operators/similarity.py).
+- embedding cosine: exact all-pairs join for the gate/verification;
+  embedding_near_dup_pairs_lsh (banded hyperplanes -> equi-join -> exact
+  re-rank) is the scale path; query-centric ANN lives in similarity.py.
+- every LSH candidate join caps degenerate hot buckets (boilerplate text /
+  duplicate-heavy embeddings) so no bucket can go quadratic.
 
 Everything below the signature computation is built-in DataFrame ops so
-Catalyst plans the joins; signatures themselves are Arrow-vectorized numpy.
+Catalyst plans the joins; signatures themselves are Arrow-vectorized numpy
+(kernel choices are MEASURED — see docstrings and BENCH/BASELINE.md).
 """
 
 from __future__ import annotations

@@ -141,3 +141,70 @@ def run_stream_to_memory(spark: SparkSession, agg_df: DataFrame, name: str):
     )
     q.processAllAvailable()
     return q
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming exact dedup: emit only FIRST-SEEN documents.
+
+    LLM-pipeline shape: an unbounded ingest stream where exact duplicates
+    (same normalized text) must be dropped across the whole stream history.
+    Keyed stateful dedup via ``applyInPandasWithState``:
+
+    - key = md5 fingerprint of normalized text (the same fingerprint as the
+      batch operator with_fingerprint, so batch and stream agree);
+    - state per fingerprint = (first doc_id, n_seen);
+    - a batch's rows for an unseen fingerprint emit exactly one row (the
+      min doc_id in that batch — deterministic); later arrivals only bump
+      the duplicate counter.
+
+    State is O(1) per distinct document; Spark shards the fingerprint key
+    space across executors, so the dedup table scales horizontally — the
+    streaming twin of dedup.dedup_exact.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fingerprint = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            first_id, n_seen = state.get
+            is_new = False
+        else:
+            first_id, n_seen = None, 0
+            is_new = True
+        batch_ids = []
+        for pdf in pdfs:
+            batch_ids.extend(pdf[id_col].astype(str).tolist())
+        if not batch_ids:
+            return
+        if first_id is None:
+            first_id = min(batch_ids)
+        n_seen += len(batch_ids)
+        state.update((first_id, n_seen))
+        if is_new:
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [key[0]],
+                    id_col: [first_id],
+                    "n_dups_so_far": [n_seen],
+                }
+            )
+
+    keyed = stream_df.select(
+        fingerprint.alias("fingerprint"),
+        F.col(id_col).cast("string").alias(id_col),
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=f"fingerprint string, {id_col} string, n_dups_so_far long",
+        stateStructType="first_id string, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -148,3 +148,52 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
         assert len(rows) == batch.count()
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First-seen docs are emitted exactly once across micro-batches; later
+    duplicates only bump the state counter — the streaming twin of
+    dedup.dedup_exact."""
+    from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "dd_src"
+    os.makedirs(src)
+    rows0 = [(str(i), f"doc text {i % 50}") for i in range(100)]  # 50 distinct texts
+    spark.createDataFrame(rows0, "doc_id string, text string").write.parquet(
+        str(src / "b0"))
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        str(src / "b*"))
+    dedup_stream = streaming_exact_dedup(stream)
+    q = (
+        dedup_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out0 = spark.sql("SELECT * FROM stream_dedup").collect()
+        assert len(out0) == 50  # one row per distinct fingerprint
+        # min STRING id wins (same ordering contract as batch dedup_exact)
+        expected_first = {
+            f"doc text {k}": min(str(k), str(50 + k)) for k in range(50)
+        }
+        got_first = {}
+        for r in out0:
+            got_first[r["fingerprint"]] = r["doc_id"]
+        assert sorted(got_first.values()) == sorted(expected_first.values())
+        # batch 2: all duplicates of batch 1 plus 10 new texts
+        rows1 = [(str(1000 + i), f"doc text {i % 60}") for i in range(120)]
+        spark.createDataFrame(rows1, "doc_id string, text string").write.parquet(
+            str(src / "b1"))
+        q.processAllAvailable()
+        out1 = spark.sql("SELECT * FROM stream_dedup").collect()
+        # only the 10 genuinely-new fingerprints (i%60 in 50..59) are added
+        assert len(out1) == 60
+        new_rows = [r for r in out1 if int(r["doc_id"]) >= 1000]
+        assert len(new_rows) == 10
+    finally:
+        q.stop()
