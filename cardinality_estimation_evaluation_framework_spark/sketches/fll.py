@@ -46,10 +46,17 @@ class FllKernel(SketchKernel):
     """``hash_kind="farmhash"`` hashes ``str(id)`` through pure-Python
     FarmHash64-with-seed — the reference's exact hash path — enabling
     register-exact parity tests (per-item Python, test-only; production is
-    vectorized splitmix64)."""
+    vectorized splitmix64).
+
+    ``sparse_mode=True`` mirrors the reference's simplified sparse mode
+    (ref: freq_log_log.py:134-139,171-177: exact (id -> multiplicity) dict
+    below 6m distinct, at the cost of extra memory): the state carries an
+    exact (ids, counts) table that merges associatively and deactivates
+    past the threshold; estimates below the threshold are the EXACT k+
+    histogram, identical to the reference's sparse answers."""
 
     def __init__(self, p: int = 14, seed: int = 0, max_freq: int = 15,
-                 hash_kind: str = "splitmix"):
+                 hash_kind: str = "splitmix", sparse_mode: bool = False):
         if not (4 <= p <= 18):
             raise ValueError(f"p must be in [4, 18], got {p}")
         self.p = p
@@ -58,6 +65,8 @@ class FllKernel(SketchKernel):
         self.max_freq = max_freq
         self.window = 64 - p
         self.hash_kind = hash_kind
+        self.sparse_mode = sparse_mode
+        self.sparse_threshold = 6 * self.m  # ref: freq_log_log.py:175
 
     def spec(self) -> dict[str, Any]:
         spec: dict[str, Any] = {
@@ -68,14 +77,54 @@ class FllKernel(SketchKernel):
         }
         if self.hash_kind != "splitmix":
             spec["hash_kind"] = self.hash_kind
+        if self.sparse_mode:
+            spec["sparse_mode"] = True
         return spec
 
     def empty(self) -> State:
-        return {
+        state = {
             "rho": np.zeros(self.m, dtype=np.int8),
             "fp": np.zeros(self.m, dtype=np.int64),
             "freq": np.zeros(self.m, dtype=np.int64),
         }
+        if self.sparse_mode:
+            # parallel (ids, counts) arrays; active flag rides in s_active
+            state["s_ids"] = np.zeros(0, dtype=np.int64)
+            state["s_counts"] = np.zeros(0, dtype=np.int64)
+            state["s_active"] = np.array([1], dtype=np.int64)
+        return state
+
+    @staticmethod
+    def _sparse_table(state: State):
+        """(ids, counts) while sparse mode is active, else None."""
+        act = state.get("s_active")
+        if act is None or act[0] != 1:
+            return None
+        return state["s_ids"], state["s_counts"]
+
+    def _merge_sparse(self, out: State, tables) -> State:
+        """Union multiset tables; deactivate past the threshold."""
+        live = [t for t in tables if t is not None]
+        if len(live) != len(tables):
+            out["s_ids"] = np.zeros(0, dtype=np.int64)
+            out["s_counts"] = np.zeros(0, dtype=np.int64)
+            out["s_active"] = np.array([0], dtype=np.int64)
+            return out
+        ids = np.concatenate([t[0] for t in live])
+        counts = np.concatenate([t[1] for t in live])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(summed, inv, counts)
+        if len(uniq) > self.sparse_threshold:
+            uniq = np.zeros(0, dtype=np.int64)
+            summed = np.zeros(0, dtype=np.int64)
+            active = 0
+        else:
+            active = 1
+        out["s_ids"] = uniq
+        out["s_counts"] = summed
+        out["s_active"] = np.array([active], dtype=np.int64)
+        return out
 
     def _hash_parts(self, values: np.ndarray):
         if self.hash_kind == "farmhash":
@@ -123,19 +172,38 @@ class FllKernel(SketchKernel):
             win_counts,
             np.where(batch_eq, state["freq"][wb] + win_counts, state["freq"][wb]),
         )
+        if self.sparse_mode:
+            table = self._sparse_table(state)
+            if table is not None:
+                vals, counts = np.unique(
+                    np.asarray(values, dtype=np.int64), return_counts=True)
+                self._merge_sparse(state, [table, (vals, counts)])
         return state
 
     def merge(self, a: State, b: State) -> State:
         a_gt = (a["rho"] > b["rho"]) | ((a["rho"] == b["rho"]) & (a["fp"] > b["fp"]))
         eq = (a["rho"] == b["rho"]) & (a["fp"] == b["fp"])
-        return {
+        out = {
             "rho": np.where(a_gt, a["rho"], b["rho"]),
             "fp": np.where(a_gt, a["fp"], b["fp"]),
             "freq": np.where(eq, a["freq"] + b["freq"], np.where(a_gt, a["freq"], b["freq"])),
         }
+        if self.sparse_mode:
+            self._merge_sparse(out, [self._sparse_table(a), self._sparse_table(b)])
+        return out
 
     def estimate(self, state: State) -> list[float]:
-        """k+ reach for k = 1..max_freq (ref: freq_log_log.py:198-266)."""
+        """k+ reach for k = 1..max_freq (ref: freq_log_log.py:198-266).
+
+        With sparse mode active the answer is the EXACT k+ histogram of the
+        tracked multiset (ref sparse path: freq_log_log.py:219-227)."""
+        if self.sparse_mode:
+            table = self._sparse_table(state)
+            if table is not None:
+                _, counts = table
+                capped = np.minimum(counts, self.max_freq)
+                return [float((capped >= k).sum())
+                        for k in range(1, self.max_freq + 1)]
         regs = state["rho"].astype(np.float64)
         raw = _alpha(self.m) * self.m**2 / np.sum(np.exp2(-regs))
         v = int(np.count_nonzero(regs == 0))

@@ -214,3 +214,34 @@ def test_fll_partition_invariant_build_matches_sequential():
             acc = k.merge(acc, k.update(k.empty(), p))
         for key in ("rho", "fp", "freq"):
             assert np.array_equal(whole[key], acc[key]), (nparts, key)
+
+
+def test_fll_sparse_mode_exact_parity(ref_fll):
+    """Below 6m distinct the reference's sparse mode answers exactly from
+    its (id -> multiplicity) dict; sparse_mode=True reproduces those
+    answers EXACTLY (ref: freq_log_log.py:171-177,219-227)."""
+    rng = np.random.RandomState(9)
+    ids = rng.randint(1, 300, size=2000).astype(np.int64)  # 300 < 6*256
+    ref = ref_fll.FreqLogLogPlusPlus(random_seed=7, length=2**8)
+    for x in ids:
+        ref.add(int(x))
+    assert ref.sparse_mode
+    ours = FllKernel(p=8, seed=7, hash_kind="farmhash", sparse_mode=True)
+    # partitioned build exercises the associative sparse merge too
+    parts = np.array_split(ids, 5)
+    st = ours.empty()
+    for part in parts:
+        st = ours.merge(st, ours.update(ours.empty(), part))
+    assert ours.estimate(st)[:15] == [float(round(x)) for x in
+                                      ref.estimate_cardinality_float()[:15]]
+
+
+def test_fll_sparse_mode_deactivates_to_dense():
+    k = FllKernel(p=4, seed=3, sparse_mode=True)  # threshold 96 distinct
+    a = k.update(k.empty(), np.arange(0, 60, dtype=np.int64))
+    b = k.update(k.empty(), np.arange(50, 160, dtype=np.int64))  # 110 distinct
+    assert k._sparse_table(b) is None  # deactivated at build
+    m = k.merge(a, b)
+    assert k._sparse_table(m) is None  # poisoned union
+    assert m["rho"].max() > 0  # dense plane still valid
+    assert k.estimate(m)[0] > 0
