@@ -125,6 +125,25 @@ def main(argv=None) -> int:
         pdf, stats_pdf, analysis_dir,
         title=f"{evaluation_config.name} ({args.num_runs} runs)",
     )
+    if args.analysis_type == "frequency" and args.max_frequency > 1:
+        # per-frequency distribution plot per estimator (the reference's
+        # FrequencyEstimatorEvaluationAnalyzer._save_plot_frequency_
+        # distribution_for_report): wide -> long -> per-level diff -> barplot
+        long_df = analyzer.to_long_format(results, max_freq=args.max_frequency)
+        per_freq = analyzer.per_frequency_cardinality(
+            long_df, ["estimator", "scenario", "run_index", "num_sets"]
+        ).toPandas()
+        per_freq = per_freq.rename(
+            columns={"per_frequency_cardinality": "cardinality_per_level"})
+        per_freq.to_csv(
+            os.path.join(analysis_dir, "per_frequency_cardinality.csv"),
+            index=False)
+        for est_name, sub in per_freq.groupby("estimator"):
+            safe = est_name.replace("/", "_")
+            report.barplot_frequency_distributions(
+                sub.rename(columns={"cardinality_per_level": "cardinality"}),
+                os.path.join(analysis_dir, f"freq_dist_{safe}.png"),
+            )
     print(f"[report] wrote {csv_path} and {html_path}")
     return 0
 

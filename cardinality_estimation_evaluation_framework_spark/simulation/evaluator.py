@@ -73,13 +73,19 @@ class Evaluator:
             spark=self.spark,
         )
         df, df_agg = sim()
+        # colons (grid scenario names embed 'key:value' parts) break
+        # Hadoop URI parsing on read-back; sanitize the PATH component only —
+        # the true names travel as columns in the parquet itself
         cell_dir = os.path.join(
             self.out_dir,
             self.evaluation_config.name,
-            f"estimator={estimator_config.name}",
-            f"scenario={scenario_config.name}",
+            f"estimator={_path_safe(estimator_config.name)}",
+            f"scenario={_path_safe(scenario_config.name)}",
         )
         os.makedirs(cell_dir, exist_ok=True)
+        df = df.copy()
+        df["estimator"] = estimator_config.name
+        df["scenario"] = scenario_config.name
         df.to_parquet(os.path.join(cell_dir, RAW_DF))
         flat = df_agg.copy()
         flat.columns = ["_".join(c) for c in flat.columns]
@@ -116,11 +122,15 @@ class Evaluator:
         return results
 
 
+def _path_safe(name: str) -> str:
+    """Directory-safe twin of a config name (':' breaks Hadoop URIs)."""
+    return name.replace(":", "~")
+
+
 def read_results(spark, out_dir: str, evaluation_name: str):
-    """Read all raw result parquet with partition columns
-    (ref analogue: analyzer.py:177-201 read_evaluation_results)."""
+    """Read all raw result parquet; estimator/scenario arrive as data
+    columns written by the evaluator (directory names are sanitized twins —
+    ref analogue: analyzer.py:177-201 read_evaluation_results)."""
     path = os.path.join(out_dir, evaluation_name)
-    return (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "estimator=*", "scenario=*", RAW_DF))
-    )
+    df = spark.read.parquet(os.path.join(path, "estimator=*", "scenario=*", RAW_DF))
+    return df

@@ -268,8 +268,13 @@ def test_frequency_grid_end_to_end_evaluate(tmp_path):
     ev_config = g.frequency_end_to_end_test(num_runs=1, universe_size=1000)
     cells = Evaluator(ev_config, configs, str(tmp_path), workers=2)()
     assert len(cells) == len(configs)
+    from cardinality_estimation_evaluation_framework_spark.simulation.evaluator import (
+        _path_safe,
+    )
+
     agg = pd.read_parquet(
         tmp_path / "frequency_end_to_end_test"
-        / f"estimator={configs[2].name}"
-        / f"scenario={ev_config.scenario_config_list[0].name}" / "df_agg.parquet")
+        / f"estimator={_path_safe(configs[2].name)}"
+        / f"scenario={_path_safe(ev_config.scenario_config_list[0].name)}"
+        / "df_agg.parquet")
     assert len(agg) > 0
