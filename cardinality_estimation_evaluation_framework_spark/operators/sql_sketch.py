@@ -244,3 +244,29 @@ def suite_build_sql(items: DataFrame, p: int = 14, cm_width: int = 4096,
         .otherwise(F.max("v"))
         .alias("val")
     )
+
+
+def suite_states_from_sql(suite_rows: DataFrame, p: int = 14,
+                          cm_width: int = 4096, cm_depth: int = 4,
+                          adbf_m: int = 65536, adbf_decay: float = 10.0,
+                          seed: int = 0) -> dict[str, State]:
+    """Collect suite_build_sql output into kernel States (registers ->
+    estimate-ready), completing the pure-SQL suite path: the returned dict
+    has 'hll' (int8 registers), 'cm' (CountMin table + n inferred from the
+    counts), 'adbf' (0/1 registers)."""
+    hll_regs = np.zeros(1 << p, dtype=np.int8)
+    cm_table = np.zeros((cm_depth, cm_width), dtype=np.int64)
+    adbf_regs = np.zeros(adbf_m, dtype=np.float64)
+    for r in suite_rows.collect():
+        if r["sketch"] == "hll":
+            hll_regs[r["bucket"]] = r["val"]
+        elif r["sketch"] == "cm":
+            cm_table[r["r"], r["bucket"]] = r["val"]
+        else:
+            adbf_regs[r["bucket"]] = 1.0
+    n = int(cm_table[0].sum()) if cm_depth else 0
+    return {
+        "hll": {"registers": hll_regs},
+        "cm": {"table": cm_table, "n": np.array([n], dtype=np.int64)},
+        "adbf": {"registers": adbf_regs},
+    }
