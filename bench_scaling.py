@@ -60,12 +60,22 @@ def main() -> None:
     }
     tp1 = n1[key]
     tp4 = n4[key]
+    # second datapoint from the same runs: the pure-Catalyst HLL build
+    # (zero Python — isolates engine scaling from Python-worker scaling)
+    sql_key = "tokens_per_sec_hll_sql"
+    sql_effs = sorted(r[1][sql_key] / (4 * r[0][sql_key]) for r in rounds)
+    sql_eff = sql_effs[len(sql_effs) // 2]
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
         "tokens_per_sec_local1": tp1,
         "tokens_per_sec_local4": tp4,
+        "sql_hll_efficiency": round(sql_eff, 3),
+        "sql_hll_tokens_per_sec": {
+            1: [r[0][sql_key] for r in rounds],
+            4: [r[1][sql_key] for r in rounds],
+        },
         "synth_tokens": n1["synth_tokens"],
         "reps": reps,
         "raw_tokens_per_sec": raw,
@@ -89,7 +99,9 @@ methodology; the sandbox shows minute-scale throughput drift).
 **Scaling efficiency N→4N = {eff:.3f}** (efficiency = tp(4N)/(4 x tp(N)),
 computed per back-to-back round, median round reported — per-round values
 {raw['eff_per_round']} — to control for the sandbox's minute-scale
-throughput drift).
+throughput drift). The pure-Catalyst HLL build measured in the SAME runs
+(zero Python — isolates engine scaling from Python-worker scaling) gives a
+second datapoint: **median efficiency {sql_eff:.3f}**.
 
 ### Environment ceiling (control experiment)
 
@@ -111,9 +123,17 @@ bound-checked in tests/test_hll.py and tests/test_aggregate_harness.py).
 
 Full per-operator wall times: BENCH_r{{N}}.json (driver-run `bench.py`).
 """
+    md += "\n<!-- generated above by bench_scaling.py; sections below are preserved -->\n"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = ""
+    marker = "<!-- generated above"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            preserved = old.split(marker, 1)[1].split("-->", 1)[1]
+    with open(path, "w") as fh:
+        fh.write(md + preserved)
 
 
 if __name__ == "__main__":

@@ -270,3 +270,53 @@ def suite_states_from_sql(suite_rows: DataFrame, p: int = 14,
         "cm": {"table": cm_table, "n": np.array([n], dtype=np.int64)},
         "adbf": {"registers": adbf_regs},
     }
+
+
+def hll_registers_by_key_sql(items: DataFrame, keys: list[str], p: int = 14,
+                             seed: int = 0, col: str = "item") -> DataFrame:
+    """Per-key HLL register tables, entirely JVM-side:
+    ``groupBy(*keys, bucket).max(rho)`` — the grouped twin of
+    hll_registers_sql. Map-side combine bounds the shuffle at
+    (#keys-per-partition x m) rows regardless of row count, so a partition
+    with 10^9 rows of one hot key still emits <= m rows for it (the same
+    skew-immunity argument as the Arrow grouped_sketch, at scan speed)."""
+    window = 64 - p
+    h = _seeded_hash(F.col(col), seed)
+    bucket = F.shiftrightunsigned(h, window).cast("int")
+    w = h.bitwiseAND(F.lit((1 << window) - 1))
+    rho = (
+        F.when(w == 0, F.lit(window + 1))
+        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
+        .cast("int")
+    )
+    return (
+        items.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimates_by_key_sql(items: DataFrame, keys: list[str], p: int = 14,
+                             seed: int = 0, col: str = "item") -> DataFrame:
+    """(keys..., estimate double): per-key distinct-count estimates computed
+    FROM the register tables WITHOUT collecting them — the HLL++ formula
+    (raw + linear-counting fallback) is itself a groupBy aggregate:
+
+        raw = alpha*m^2 / (sum(2^-rho over present buckets) + (m - #present))
+        v   = m - #present buckets
+        lc  = m * ln(m / v)                      (when v > 0)
+        est = lc if v>0 and lc <= threshold else raw
+
+    so a BILLION keys never touch the driver."""
+    m = 1 << p
+    regs = hll_registers_by_key_sql(items, keys, p, seed, col)
+    alpha = _alpha(m)
+    present = F.count("*")
+    sum_pow = F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double")))
+    v = (F.lit(m) - present).cast("double")
+    raw = F.lit(alpha * m * m) / (sum_pow + v)  # absent buckets contribute 2^0
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when(
+        (v > 0) & (lc <= F.lit(float(THRESHOLD[p]))), lc
+    ).otherwise(raw)
+    return regs.groupBy(*keys).agg(est.alias("estimate"))

@@ -157,3 +157,34 @@ def test_suite_states_from_sql(spark, items):
     # adbf occupancy within [1, m]
     occ = int(states["adbf"]["registers"].sum())
     assert 0 < occ <= 4096
+
+
+def test_hll_by_key_sql_matches_ungrouped_and_truth(spark):
+    """Per-key SQL registers equal per-key ungrouped builds, and the
+    all-SQL per-key estimate equals the driver-side formula exactly."""
+    df = (
+        spark.range(80_000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("source"),
+            F.pmod(F.xxhash64("id"), F.lit(30_000)).alias("item"),
+        )
+        .cache()
+    )
+    df.count()
+    p, seed = 11, 5
+    grouped = sql_sketch.hll_registers_by_key_sql(df, ["source"], p=p, seed=seed)
+    for src in ("0", "3"):
+        sub = {(r["bucket"], r["rho"])
+               for r in grouped.where(F.col("source") == src).select("bucket", "rho").collect()}
+        solo = {(r["bucket"], r["rho"])
+                for r in sql_sketch.hll_registers_sql(
+                    df.where(F.col("source") == src), p=p, seed=seed).collect()}
+        assert sub == solo, src
+    ests = {r["source"]: r["estimate"]
+            for r in sql_sketch.hll_estimates_by_key_sql(df, ["source"], p=p, seed=seed).collect()}
+    for src in ("0", "1", "2", "3"):
+        sub_df = df.where(F.col("source") == src)
+        assert ests[src] == pytest.approx(
+            sql_sketch.hll_estimate_sql(sub_df, p=p, seed=seed), rel=1e-9)
+        true = sub_df.select("item").distinct().count()
+        assert abs(ests[src] - true) / true < 3 * 1.04 / np.sqrt(2**p)
