@@ -162,6 +162,12 @@ def main() -> None:
         queries["hll_by_source"] = sec
 
         sec, _ = timed(
+            lambda: sql_sketch.hll_estimates_by_key_sql(
+                tok_src, ["source"], p=12, seed=7).collect()
+        )
+        queries["hll_by_source_sql"] = sec
+
+        sec, _ = timed(
             lambda: agg.sketch_tokens(docs_tbl, CountMinKernel(width=4096, depth=4, seed=1))
         )
         queries["countmin_build_synth"] = sec
