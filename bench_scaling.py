@@ -4,10 +4,13 @@ No multi-node cluster exists in this sandbox, so cluster-size scaling is
 evidenced by running the IDENTICAL flagship job (bench.py --scaling, a one-scan HLL+count-min+ADBF suite build) at two
 parallelism levels — local[1] (N) and local[4] (4N) — in separate
 processes on the same deterministic input, and reporting throughput at both
-plus efficiency = tp(4N) / (4 * tp(N)). Each level runs ``--reps`` times
-and the best throughput is kept (this sandbox shows large first-touch
-page-fault stalls unrelated to the engine). Results land in
-BENCH/BASELINE.md.
+plus efficiency = tp(4N) / (4 * tp(N)). Each round runs N then 4N
+back-to-back (same machine window); efficiency is computed per round and
+the MEDIAN round is reported with all raw samples (this sandbox's
+available throughput drifts 2-3x over minutes, which best-of selection
+would turn into nonsense super-linear ratios). Results land in
+BENCH/BASELINE.md (generated header; hand-appended sections after the
+marker are preserved).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def main() -> None:
     # PAIRED interleaved rounds: this sandbox's available throughput drifts
     # 2-3x over minutes (noisy neighbors), so each round runs N then 4N
     # back-to-back (same machine window) and efficiency is computed per
-    # round; the best round is reported with all raw samples.
+    # round; the MEDIAN round is reported with all raw samples.
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     t0 = time.time()
     key = "tokens_per_sec_suite_build"

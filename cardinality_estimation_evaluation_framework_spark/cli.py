@@ -128,8 +128,17 @@ def main(argv=None) -> int:
     if args.analysis_type == "frequency" and args.max_frequency > 1:
         # per-frequency distribution plot per estimator (the reference's
         # FrequencyEstimatorEvaluationAnalyzer._save_plot_frequency_
-        # distribution_for_report): wide -> long -> per-level diff -> barplot
-        long_df = analyzer.to_long_format(results, max_freq=args.max_frequency)
+        # distribution_for_report): wide -> long -> per-level diff -> barplot.
+        # Mixed runs may include cardinality-only estimators whose cells
+        # carry only *_1 columns — analyze up to the deepest level every
+        # cell actually has.
+        avail = max(
+            (int(c.rsplit("_", 1)[1]) for c in results.columns
+             if c.startswith("estimated_cardinality_")),
+            default=1,
+        )
+        long_df = analyzer.to_long_format(
+            results, max_freq=min(args.max_frequency, avail))
         per_freq = analyzer.per_frequency_cardinality(
             long_df, ["estimator", "scenario", "run_index", "num_sets"]
         ).toPandas()

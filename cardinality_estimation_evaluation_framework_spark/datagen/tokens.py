@@ -74,9 +74,13 @@ def vocab(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     distinct = tokens_exploded(docs).select("tok").distinct()
     nparts = max(spark.sparkContext.defaultParallelism, 1)
+    # persist BEFORE the two consuming jobs: repartitionByRange bounds come
+    # from sampling and are NOT stable across recomputations — without the
+    # cache, the offsets job and the final job could see different partition
+    # boundaries (wrong/dropped tids). The cached vocab is small by contract.
     ranged = distinct.repartitionByRange(nparts, "tok").withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     sizes = {r["_pid"]: r["cnt"] for r in
              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0

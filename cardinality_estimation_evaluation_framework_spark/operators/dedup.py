@@ -447,7 +447,11 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         _hyperplanes,
     )
 
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).where(F.col(vec_col).isNotNull()).head(1)
+    if not probe:  # empty input -> empty pairs, correct schema
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double")
+    dim = len(probe[0][0])
     planes = _hyperplanes(dim, bands * planes_per_band, seed)
     powers = 1 << np.arange(planes_per_band, dtype=np.int64)
 

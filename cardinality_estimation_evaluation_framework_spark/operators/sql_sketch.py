@@ -52,11 +52,41 @@ def _seeded_hash(col, seed: int):
 
 
 def _bit_length(col, max_bits: int):
-    """Exact bit length of a non-negative long column."""
-    if max_bits <= 53:
-        # float64 path: exact below 2^53
-        return F.floor(F.log2(col)) + 1
+    """Exact bit length of a non-negative long column.
+
+    ``length(bin(w))`` (Long.toBinaryString) is exact at any width. A
+    float ``floor(log2(w)) + 1`` path is NOT: log2 rounds UP for w just
+    below 2^k once k >= 48 (verified numerically: floor(log2(2^48-1)) = 48),
+    which would emit rho = 0 for ~1e-14 of hashes — invisible in tests,
+    plausible at 10^11 tokens. Exactness beats the ~string-alloc cost."""
+    _ = max_bits
     return F.length(F.bin(col))
+
+
+def _hll_bucket_rho(h, p: int):
+    """(bucket, rho) column pair from a 64-bit hash column — the single
+    definition all HLL SQL builders share."""
+    window = 64 - p
+    bucket = F.shiftrightunsigned(h, window).cast("int")
+    w = h.bitwiseAND(F.lit((1 << window) - 1))
+    rho = (
+        F.when(w == 0, F.lit(window + 1))
+        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def _adbf_bucket(h, m: int, decay_rate: float):
+    """Exp-ADBF register index column from a 64-bit hash column (closed-form
+    truncated-geometric inverse CDF) — single shared definition."""
+    a = decay_rate
+    q = math.exp(-a / (m + 1))
+    u = (h.cast("double") / F.lit(float(2**64))) + F.when(
+        h < 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    idx = F.ceil(F.log1p(-u * F.lit(1.0 - q**m)) / F.lit(math.log(q))) - 1
+    return F.greatest(F.lit(0), F.least(F.lit(m - 1), idx)).cast("int")
 
 
 def hll_registers_sql(items: DataFrame, p: int = 14, seed: int = 0,
@@ -66,20 +96,7 @@ def hll_registers_sql(items: DataFrame, p: int = 14, seed: int = 0,
     Plan shape: scan -> codegen project (hash/shift/mask) -> partial max ->
     exchange of <= m rows/partition -> final max. No Python anywhere.
     """
-    window = 64 - p
-    h = _seeded_hash(F.col(col), seed)
-    bucket = F.shiftrightunsigned(h, window).cast("int")
-    w = h.bitwiseAND(F.lit((1 << window) - 1))
-    rho = (
-        F.when(w == 0, F.lit(window + 1))
-        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
-        .cast("int")
-    )
-    return (
-        items.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return hll_registers_by_key_sql(items, [], p, seed, col)
 
 
 def hll_estimate_sql(items: DataFrame, p: int = 14, seed: int = 0,
@@ -126,18 +143,42 @@ def countmin_table_sql(items: DataFrame, width: int = 2048, depth: int = 5,
 
 
 def countmin_state_sql(items: DataFrame, width: int = 2048, depth: int = 5,
-                       seed: int = 0, col: str = "item") -> tuple[CountMinKernel, State]:
-    """Collect the SQL table into a CountMinKernel state (the kernel's
-    query/estimate formulas apply unchanged; note the hash family is
-    xxhash64-based, so states from this path merge with each other, not
-    with splitmix-built states — the spec marks them)."""
+                       seed: int = 0, col: str = "item") -> State:
+    """Collect the SQL table into a CountMinKernel-shaped State.
+
+    n is recovered from row 0's column sums (every item increments exactly
+    one bucket per row), so no extra scan is paid. IMPORTANT: this table is
+    built with Spark's xxhash64 family, which the numpy kernel cannot
+    reproduce — point queries must go through :func:`countmin_query_sql`
+    (same SQL hash), NEVER through CountMinKernel.query (splitmix64 —
+    would read unrelated buckets and break the est >= true guarantee)."""
     kernel = CountMinKernel(width=width, depth=depth, seed=seed)
-    n = items.count()
     state = kernel.empty()
     for r in countmin_table_sql(items, width, depth, seed, col).collect():
         state["table"][r["r"], r["bucket"]] = r["cnt"]
-    state["n"][0] = n
-    return kernel, state
+    state["n"][0] = int(state["table"][0].sum())
+    return state
+
+
+def countmin_query_sql(spark, state: State, values, width: int = 2048,
+                       depth: int = 5, seed: int = 0) -> np.ndarray:
+    """Point queries against a countmin_state_sql table: bucket indices for
+    the queried values are computed with the SAME xxhash64 SQL expressions
+    that built the table, then the usual min-over-rows upper bound."""
+    vals_df = spark.createDataFrame(
+        [(int(v),) for v in values], "item long")
+    bucket_cols = [
+        F.pmod(_seeded_hash(F.col("item"), seed * 31 + r), F.lit(width))
+        .cast("int").alias(f"b{r}")
+        for r in range(depth)
+    ]
+    rows = vals_df.select("item", *bucket_cols).collect()
+    by_item = {r["item"]: [r[f"b{i}"] for i in range(depth)] for r in rows}
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        buckets = by_item[int(v)]
+        out[i] = min(int(state["table"][r, b]) for r, b in enumerate(buckets))
+    return out
 
 
 def exp_adbf_registers_sql(items: DataFrame, m: int = 65536,
@@ -152,19 +193,8 @@ def exp_adbf_registers_sql(items: DataFrame, m: int = 65536,
     to float boundary ulps (distribution-level identical; estimator bounds
     unaffected), pinned statistically in tests.
     """
-    a = decay_rate
-    q = math.exp(-a / (m + 1))
-    one_minus_qm = 1.0 - q**m
-    lnq = math.log(q)
     h = _seeded_hash(F.col(col), seed)
-    # uint64 -> [0,1): reinterpret the signed long as unsigned
-    u = (h.cast("double") / F.lit(float(2**64))) + F.when(
-        h < 0, F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    idx = F.ceil(
-        F.log1p(-u * F.lit(one_minus_qm)) / F.lit(lnq)
-    ) - 1
-    bucket = F.greatest(F.lit(0), F.least(F.lit(m - 1), idx)).cast("int")
+    bucket = _adbf_bucket(h, m, decay_rate)
     return items.select(bucket.alias("bucket")).distinct()
 
 
@@ -199,28 +229,16 @@ def suite_build_sql(items: DataFrame, p: int = 14, cm_width: int = 4096,
     Output: (sketch string, r int, bucket int, val long) where val is rho
     for 'hll', the count for 'cm', and 1 for 'adbf'.
     """
-    window = 64 - p
     h = _seeded_hash(F.col(col), seed)
-    w = h.bitwiseAND(F.lit((1 << window) - 1))
-    rho = (
-        F.when(w == 0, F.lit(window + 1))
-        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
-        .cast("long")
-    )
-    a = adbf_decay
-    q = math.exp(-a / (adbf_m + 1))
-    u = (h.cast("double") / F.lit(float(2**64))) + F.when(
-        h < 0, F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    adbf_idx = F.ceil(F.log1p(-u * F.lit(1.0 - q**adbf_m)) / F.lit(math.log(q))) - 1
-    adbf_bucket = F.greatest(F.lit(0), F.least(F.lit(adbf_m - 1), adbf_idx)).cast("int")
+    hll_bucket, rho = _hll_bucket_rho(h, p)
+    adbf_bucket = _adbf_bucket(h, adbf_m, adbf_decay)
 
     fan = F.explode(
         F.array(
             F.struct(
                 F.lit("hll").alias("sketch"), F.lit(0).alias("r"),
-                F.shiftrightunsigned(h, window).cast("int").alias("bucket"),
-                rho.alias("v"),
+                hll_bucket.alias("bucket"),
+                rho.cast("long").alias("v"),
             ),
             F.struct(
                 F.lit("adbf").alias("sketch"), F.lit(0).alias("r"),
@@ -280,15 +298,8 @@ def hll_registers_by_key_sql(items: DataFrame, keys: list[str], p: int = 14,
     (#keys-per-partition x m) rows regardless of row count, so a partition
     with 10^9 rows of one hot key still emits <= m rows for it (the same
     skew-immunity argument as the Arrow grouped_sketch, at scan speed)."""
-    window = 64 - p
     h = _seeded_hash(F.col(col), seed)
-    bucket = F.shiftrightunsigned(h, window).cast("int")
-    w = h.bitwiseAND(F.lit((1 << window) - 1))
-    rho = (
-        F.when(w == 0, F.lit(window + 1))
-        .otherwise(F.lit(window) - _bit_length(w, window) + 1)
-        .cast("int")
-    )
+    bucket, rho = _hll_bucket_rho(h, p)
     return (
         items.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*keys, "bucket")

@@ -132,5 +132,8 @@ def read_results(spark, out_dir: str, evaluation_name: str):
     columns written by the evaluator (directory names are sanitized twins —
     ref analogue: analyzer.py:177-201 read_evaluation_results)."""
     path = os.path.join(out_dir, evaluation_name)
-    df = spark.read.parquet(os.path.join(path, "estimator=*", "scenario=*", RAW_DF))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(path, "estimator=*", "scenario=*", RAW_DF))
+    )
     return df

@@ -54,17 +54,20 @@ def test_hll_sql_estimate_within_bound(spark, items):
 
 
 def test_countmin_sql_is_exact_count_table(spark, items):
-    """Count-min guarantees: point query >= true count, and <= true + eps*N
-    for the heavy hitter."""
-    kernel, state = sql_sketch.countmin_state_sql(items, width=2048, depth=4, seed=1)
+    """Count-min guarantees via the MATCHED SQL query path: point query >=
+    true count (the lower bound is structural — a mismatched hash family
+    would break it), and <= true + eps*N slack."""
+    state = sql_sketch.countmin_state_sql(items, width=2048, depth=4, seed=1)
     true = {
         r["item"]: r["cnt"]
         for r in items.groupBy("item").agg(F.count("*").alias("cnt")).limit(50).collect()
     }
     n = int(state["n"][0])
+    assert n == items.count()  # n recovered from row sums, no extra scan
     eps = np.e / 2048
-    for item, cnt in true.items():
-        est = kernel.query(state, np.array([item], dtype=np.int64))[0]
+    ests = sql_sketch.countmin_query_sql(
+        spark, state, list(true.keys()), width=2048, depth=4, seed=1)
+    for est, cnt in zip(ests, true.values()):
         assert est >= cnt
         assert est <= cnt + eps * n * 3
 
