@@ -116,6 +116,19 @@ def q_hll_by_source_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows_out, schema="source string, bucket int, rho int")
 
 
+def q_token_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 heavy-hitter tokens (cnt DESC, tok ASC tie-break) —
+    the training-pipeline vocabulary-pruning staple
+    (operators/frequency_ops.heavy_hitters_exact)."""
+    from cardinality_estimation_evaluation_framework_spark.operators.frequency_ops import (
+        heavy_hitters_exact,
+    )
+
+    toks = tk.tokens_exploded(_docs(spark, sf_dir)).select(
+        F.col("tok").alias("item"))
+    return heavy_hitters_exact(toks, k=20, col="item")
+
+
 def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer-style groupBy agg (ref: simulator.py:75-83 mean/std pattern)."""
     docs = _docs(spark, sf_dir)
@@ -391,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kplus_reach": q_kplus_reach,
         "hll_register_table": q_hll_register_table,
         "hll_by_source_registers": q_hll_by_source_registers,
+        "token_top_k": q_token_top_k,
         "doc_stats_by_source": q_doc_stats_by_source,
         "voc_register_table": q_voc_register_table,
         "countmin_register_table": q_countmin_register_table,
@@ -448,6 +462,12 @@ def oracle_sql() -> dict[str, str]:
             f"{vocab} SELECT bucket, max(rho) AS rho FROM ("
             f"  SELECT {hll.register_sql('tid')} FROM vocab"
             ") GROUP BY bucket"
+        ),
+        "token_top_k": (
+            f"{toks} SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS INT) AS rank "
+            "FROM toks GROUP BY tok "
+            "ORDER BY cnt DESC, item ASC LIMIT 20"
         ),
         "doc_stats_by_source": (
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "

@@ -228,3 +228,32 @@ def test_video_frame_sampling(docs_small):
     frames = multimodal.sample_video_frames(media, every_nth=1, fake=True).collect()
     assert len(frames) >= 5
     assert all(0 <= r["ts_fraction"] < 1 for r in frames)
+
+
+# ---------------- heavy hitters ----------------
+
+def test_heavy_hitters_exact_and_countmin(spark):
+    from cardinality_estimation_evaluation_framework_spark.operators.frequency_ops import (
+        heavy_hitters_countmin,
+        heavy_hitters_exact,
+    )
+
+    # skewed stream: item i has ~1/(i+1) share
+    items = spark.range(50_000).select(
+        F.pmod(F.pow(F.col("id") % 1000, F.lit(0.5)).cast("long"), F.lit(40)).alias("item")
+    ).cache()
+    items.count()
+    top = heavy_hitters_exact(items, k=5).collect()
+    assert len(top) == 5
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+    cnts = [r["cnt"] for r in top]
+    assert cnts == sorted(cnts, reverse=True)
+
+    n = items.count()
+    phi = top[-1]["cnt"] / n  # threshold at the 5th hitter's share
+    hh = {r["item"]: r["est_cnt"] for r in
+          heavy_hitters_countmin(items, phi=phi, width=8192, depth=4).collect()}
+    # no false negatives: every exact top-5 item survives the CM filter
+    for r in top:
+        assert r["item"] in hh
+        assert hh[r["item"]] >= r["cnt"]  # CM never undercounts
