@@ -84,6 +84,15 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def timed_best2(fn):
+    """Best of 2 back-to-back runs — this sandbox shows transient multi-
+    second stalls unrelated to the engine; a single cold sample regularly
+    reads 5-10x the steady-state cost."""
+    s1, out = timed(fn)
+    s2, out = timed(fn)
+    return min(s1, s2), out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="flagship only")
@@ -142,10 +151,10 @@ def main() -> None:
         tok_items = agg.explode_tokens(tk.tokenize_hashed(docs)).cache()
         tok_items.count()
 
-        sec, _ = timed(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
+        sec, _ = timed_best2(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
         queries["hll_build_docs"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: sql_sketch.hll_registers_sql(tok_items, p=12, seed=7).count()
         )
         queries["hll_build_sql_docs"] = sec
@@ -154,41 +163,41 @@ def main() -> None:
             "source", F.explode("tokens").alias("t")
         ).select("source", F.col("t").cast("long").alias("item"))
         k12 = HllKernel(p=12, seed=7)
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: agg.grouped_estimate(
                 agg.grouped_sketch(tok_src, k12, ["source"], "item"), k12, ["source"]
             ).collect()
         )
         queries["hll_by_source"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: sql_sketch.hll_estimates_by_key_sql(
                 tok_src, ["source"], p=12, seed=7).collect()
         )
         queries["hll_by_source_sql"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: agg.sketch_tokens(docs_tbl, CountMinKernel(width=4096, depth=4, seed=1))
         )
         queries["countmin_build_synth"] = sec
 
-        sec, _ = timed(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))
+        sec, _ = timed_best2(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))
         queries["kll_lineitem"] = sec
 
-        sec, _ = timed(lambda: agg.sketch(li, TDigestKernel(delta=200), col="l_extendedprice"))
+        sec, _ = timed_best2(lambda: agg.sketch(li, TDigestKernel(delta=200), col="l_extendedprice"))
         queries["tdigest_lineitem"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: tok_src.groupBy("source").agg(F.countDistinct("item")).collect()
         )
         queries["exact_reach_by_source"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: tok_items.groupBy("item").count().groupBy("count").count().collect()
         )
         queries["token_freq_hist"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: dedup_ops.minhash_dedup_pairs(
                 docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
                 threshold=0.8, num_hashes=64, bands=16,
@@ -196,7 +205,7 @@ def main() -> None:
         )
         queries["minhash_dedup_docs"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: dedup_ops.simhash_signatures(
                 docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
             ).count()
@@ -204,10 +213,10 @@ def main() -> None:
         queries["simhash_sigs_docs"] = sec
 
         q = [float(x) for x in emb.select("embedding").first()[0]]
-        sec, _ = timed(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
+        sec, _ = timed_best2(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
         queries["cosine_topk"] = sec
 
-        sec, _ = timed(
+        sec, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )
         queries["native_approx_distinct"] = sec
