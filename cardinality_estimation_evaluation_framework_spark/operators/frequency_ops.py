@@ -30,13 +30,17 @@ from cardinality_estimation_evaluation_framework_spark.sketches.countmin import 
 def heavy_hitters_exact(items: DataFrame, k: int = 20,
                         col: str = "item") -> DataFrame:
     """(item, cnt, rank) — exact top-k by count, deterministic ordering
-    (cnt DESC, item ASC), ANSI-SQL-expressible for the oracle gate."""
+    (cnt DESC, item ASC), ANSI-SQL-expressible for the oracle gate.
+
+    Plan: counted groupBy -> ``orderBy().limit(k)``, which Spark executes
+    as TakeOrderedAndProject (per-partition top-k + tiny driver merge) —
+    no global-window single-partition stage even with a billion distinct
+    items. The rank column is attached AFTER the limit (k rows)."""
     counts = items.groupBy(col).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc(col))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col(col).alias("item"), "cnt", "rank")
+    top = counts.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc(col))  # over k rows only
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col(col).alias("item"), "cnt", "rank"
     )
 
 
