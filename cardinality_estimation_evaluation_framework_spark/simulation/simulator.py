@@ -85,9 +85,21 @@ class Simulator:
 
     # -- one run --------------------------------------------------------------
     def _build_states(self, sets: list[np.ndarray], seed: int):
+        from cardinality_estimation_evaluation_framework_spark.sketches.stratified import (
+            StratifiedDriverKernel,
+            build_stratified_grouped,
+        )
+
         kernel = self.config.kernel_factory(seed)
         if self.spark is None:
             states = [kernel.update(kernel.empty(), np.asarray(s, dtype=np.int64)) for s in sets]
+        elif isinstance(kernel, StratifiedDriverKernel):
+            # distributed stratified: ONE grouped job builds every set's
+            # per-level sketches (multiset duplicates encode frequency)
+            df = sets_to_items_df(self.spark, sets)
+            by_source = build_stratified_grouped(
+                df, kernel.base, kernel.max_freq, "source", "item")
+            states = [by_source[f"set_{i:04d}"] for i in range(len(sets))]
         else:
             df = sets_to_items_df(self.spark, sets)
             rows = agg.grouped_sketch(df, kernel, ["source"], "item").collect()

@@ -239,3 +239,48 @@ class StratifiedDriverKernel:
             # (ref: stratified_sketch.py:174-183)
             sketches[ONE_PLUS] = self.base.update(sketches[ONE_PLUS], uniq)
         return StratifiedSketch(self.base, self.max_freq, sketches)
+
+
+def build_stratified_grouped(
+    df: DataFrame,
+    kernel: SketchKernel,
+    max_freq: int,
+    group_col: str = "source",
+    id_col: str = "item",
+) -> dict[str, StratifiedSketch]:
+    """ONE-pass distributed stratified build for EVERY group at once:
+    ``groupBy(group, id).count`` -> frequency level -> grouped-sketch
+    aggregation keyed by (group, level). Returns {group: StratifiedSketch}.
+
+    This is the distributed twin of the Simulator's per-set
+    StratifiedDriverKernel builds — map-side combine bounds the shuffle at
+    (groups x levels x state-size) per partition, so a scenario with
+    thousands of publishers is one job, not one job per set."""
+    freq = df.groupBy(group_col, id_col).agg(F.count("*").alias("freq"))
+    leveled = freq.select(
+        F.col(group_col),
+        F.when(F.col("freq") >= max_freq, F.lit(f"{max_freq}+"))
+        .otherwise(F.col("freq").cast("string"))
+        .alias("level"),
+        F.col(id_col).alias("item"),
+    )
+    rows = agg.grouped_sketch(leveled, kernel, [group_col, "level"], "item").collect()
+    per_group: dict[str, dict[str, State]] = {}
+    for r in rows:
+        per_group.setdefault(r[group_col], {})[r["level"]] = kernel.unpack(
+            bytes(r["sketch"])
+        )
+    out: dict[str, StratifiedSketch] = {}
+    level_keys = [str(k) for k in range(1, max_freq)] + [f"{max_freq}+"]
+    for group, sketches in per_group.items():
+        for key in level_keys:
+            sketches.setdefault(key, kernel.empty())
+        one_plus = None
+        for key in level_keys:
+            one_plus = (
+                sketches[key] if one_plus is None
+                else kernel.merge(one_plus, sketches[key])
+            )
+        sketches[ONE_PLUS] = one_plus
+        out[group] = StratifiedSketch(kernel, max_freq, sketches)
+    return out

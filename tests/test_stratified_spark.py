@@ -55,3 +55,42 @@ def test_stratified_pairwise_merge(spark):
     assert abs(est[0] - 9_000) / 9_000 < 0.15
     assert abs(est[1] - 3_000) / 3_000 < 0.25
     assert est[2] < 1_000
+
+
+def test_simulator_spark_mode_stratified_matches_driver(spark):
+    """Distributed grouped stratified build (ONE job for all sets) produces
+    the same estimates as the driver-mode per-set build."""
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_spark.datagen import (
+        set_generators as sg,
+    )
+    from cardinality_estimation_evaluation_framework_spark.simulation import (
+        config_grids as g,
+    )
+    from cardinality_estimation_evaluation_framework_spark.simulation.simulator import (
+        Simulator,
+    )
+
+    gen = lambda rs: sg.HomogeneousMultiSetGenerator(
+        2000, [300] * 3, [1, 2, 3], rs, freq_cap=5)
+    cfg = g.stratified_sketch_vector_of_counts(3, False, 1024, None)
+
+    def run(spark_arg):
+        sim = Simulator(
+            num_runs=2,
+            set_generator_factory=gen,
+            sketch_estimator_config=cfg,
+            sketch_random_state=np.random.RandomState(5),
+            set_random_state=np.random.RandomState(6),
+            spark=spark_arg,
+        )
+        df, _ = sim()
+        return df
+
+    driver_df = run(None)
+    spark_df = run(spark)
+    for k in (1, 2, 3):
+        a = driver_df[f"estimated_cardinality_{k}"].to_numpy(np.float64)
+        b = spark_df[f"estimated_cardinality_{k}"].to_numpy(np.float64)
+        assert np.allclose(a, b), (k, a, b)
