@@ -331,3 +331,28 @@ def hll_estimates_by_key_sql(items: DataFrame, keys: list[str], p: int = 14,
         (v > 0) & (lc <= F.lit(float(THRESHOLD[p]))), lc
     ).otherwise(raw)
     return regs.groupBy(*keys).agg(est.alias("estimate"))
+
+
+def countmin_table_by_key_sql(items: DataFrame, keys: list[str],
+                              width: int = 2048, depth: int = 5,
+                              seed: int = 0, col: str = "item") -> DataFrame:
+    """(keys..., r, bucket, cnt) — per-key count-min tables, JVM-side; the
+    grouped twin of countmin_table_sql (map-side combine bounds the shuffle
+    at keys x depth x width rows per partition)."""
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(_seeded_hash(F.col(col), seed * 31 + r), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ])
+    )
+    return (
+        items.select(*keys, rows.alias("rb"))
+        .select(*keys, "rb.r", "rb.bucket")
+        .groupBy(*keys, "r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

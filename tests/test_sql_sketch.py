@@ -191,3 +191,32 @@ def test_hll_by_key_sql_matches_ungrouped_and_truth(spark):
             sql_sketch.hll_estimate_sql(sub_df, p=p, seed=seed), rel=1e-9)
         true = sub_df.select("item").distinct().count()
         assert abs(ests[src] - true) / true < 3 * 1.04 / np.sqrt(2**p)
+
+
+def test_countmin_by_key_sql_matches_solo(spark):
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("source"),
+            F.pmod(F.xxhash64("id"), F.lit(5_000)).alias("item"),
+        )
+        .cache()
+    )
+    df.count()
+    grouped = sql_sketch.countmin_table_by_key_sql(
+        df, ["source"], width=512, depth=3, seed=2)
+    for src in ("0", "2"):
+        sub = {(r["r"], r["bucket"], r["cnt"])
+               for r in grouped.where(F.col("source") == src)
+               .select("r", "bucket", "cnt").collect()}
+        solo = {(r["r"], r["bucket"], r["cnt"])
+                for r in sql_sketch.countmin_table_sql(
+                    df.where(F.col("source") == src),
+                    width=512, depth=3, seed=2).collect()}
+        assert sub == solo, src
+    # per-key row sums equal per-key N for every depth row
+    n_by_src = {r["source"]: r["n"] for r in
+                df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sums = (grouped.groupBy("source", "r").agg(F.sum("cnt").alias("s")).collect())
+    for row in sums:
+        assert row["s"] == n_by_src[row["source"]], row

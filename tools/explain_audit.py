@@ -117,6 +117,35 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in emb_plan, "embedding LSH join is cartesian!"
 
+    # 8. pure-Catalyst HLL build: whole-stage codegen aggregation, ZERO
+    # Python operators anywhere in the plan
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        sql_sketch,
+    )
+
+    items8 = agg.explode_tokens(tk.tokenize_hashed(docs))
+    sql_plan = plan_of(sql_sketch.hll_registers_sql(items8, p=12, seed=7))
+    sections.append((
+        "pure-Catalyst HLL register build (codegen agg, zero Python)",
+        sql_plan,
+        ["HashAggregate"],
+    ))
+    assert "MapInPandas" not in sql_plan and "ArrowEval" not in sql_plan, (
+        "Python operator leaked into the SQL sketch plan!")
+
+    # 9. exact heavy hitters: TakeOrdered, never a single-partition window
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        frequency_ops,
+    )
+
+    hh_plan = plan_of(frequency_ops.heavy_hitters_exact(
+        items8.select(F.col("item")), k=20))
+    sections.append((
+        "exact heavy hitters (TakeOrdered top-k, no global window below the limit)",
+        hh_plan,
+        ["TakeOrderedAndProject"],
+    ))
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:
