@@ -208,3 +208,91 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_sketch_stream(
+    stream_df: DataFrame,
+    kernel: SketchKernel,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    item_col: str = "item",
+):
+    """Per-event-time-window distinct estimates as STREAMING STATE.
+
+    groupBy(window(ts)) + ``applyInPandasWithState`` with an O(m) packed
+    sketch per window; the watermark sets an event-time timeout so closed
+    windows emit a FINAL row and their state is garbage-collected — the
+    sketch twin of a watermarked windowed count. Late rows inside the
+    watermark keep updating their window's sketch; rows later than the
+    watermark are dropped by Spark upstream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(item_col).cast("long").alias(item_col),
+            F.col(ts_col),  # keep the watermarked column in the plan —
+            # event-time timeout requires it to survive to the stateful op
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            item_col,
+            ts_col,
+        )
+    )
+
+    def update(key, pdfs, state):
+        win_start, win_end = key
+        if state.hasTimedOut:
+            st = kernel.unpack(bytes(state.get[0]))
+            n = int(state.get[1])
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "win_start": [win_start],
+                    "win_end": [win_end],
+                    "estimate": [float(kernel.estimate(st)[0])],
+                    "rows_seen": [n],
+                    "final": [True],
+                }
+            )
+            return
+        if state.exists:
+            st = kernel.unpack(bytes(state.get[0]))
+            n = int(state.get[1])
+        else:
+            st = kernel.empty()
+            n = 0
+        for pdf in pdfs:
+            vals = pdf[item_col].to_numpy(dtype=np.int64, na_value=0)
+            kernel.update(st, vals)
+            n += len(vals)
+        state.update((kernel.pack(st), n))
+        # GC when the watermark passes the window end
+        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
+        yield pd.DataFrame(
+            {
+                "win_start": [win_start],
+                "win_end": [win_end],
+                "estimate": [float(kernel.estimate(st)[0])],
+                "rows_seen": [n],
+                "final": [False],
+            }
+        )
+
+    return src.groupBy("win_start", "win_end").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "win_start timestamp, win_end timestamp, estimate double, "
+            "rows_seen long, final boolean"
+        ),
+        stateStructType="sketch binary, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -197,3 +197,55 @@ def test_streaming_exact_dedup(spark, tmp_path):
         assert len(new_rows) == 10
     finally:
         q.stop()
+
+
+def test_windowed_sketch_stream(spark, tmp_path):
+    """Per-window HLL estimates accumulate across micro-batches; a second
+    batch for the same window updates it rather than double-counting."""
+    from datetime import datetime, timezone
+
+    from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+        windowed_sketch_stream,
+    )
+
+    src = tmp_path / "ws_src"
+    os.makedirs(src)
+    h0 = datetime(2024, 1, 1, 10, 0, tzinfo=timezone.utc)
+    h1 = datetime(2024, 1, 1, 11, 0, tzinfo=timezone.utc)
+    rows0 = [(h0, i) for i in range(3000)] + [(h1, i) for i in range(1000)]
+    spark.createDataFrame(rows0, "ts timestamp, item long").write.parquet(
+        str(src / "b0"))
+    stream = spark.readStream.schema("ts timestamp, item long").parquet(
+        str(src / "b*"))
+    kernel = HllKernel(p=14, seed=8)  # p=14: linear counting covers n=6000 exactly-ish
+    q = (
+        windowed_sketch_stream(stream, kernel, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("windowed_sketch")
+        .option("checkpointLocation", str(tmp_path / "ws_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: window h0 gets 3000 MORE distinct ids (3000..5999)
+        rows1 = [(h0, 3000 + i) for i in range(3000)]
+        spark.createDataFrame(rows1, "ts timestamp, item long").write.parquet(
+            str(src / "b1"))
+        q.processAllAvailable()
+        latest = {
+            r["win_start"]: (r["estimate"], r["rows_seen"])
+            for r in spark.sql(
+                "SELECT win_start, max_by(estimate, rows_seen) estimate, "
+                "max(rows_seen) rows_seen FROM windowed_sketch GROUP BY win_start"
+            ).collect()
+        }
+        h0_naive = h0.replace(tzinfo=None)
+        h1_naive = h1.replace(tzinfo=None)
+        est_h0, n_h0 = latest[h0_naive]
+        est_h1, n_h1 = latest[h1_naive]
+        assert n_h0 == 6000 and n_h1 == 1000
+        assert abs(est_h0 - 6000) / 6000 < 0.10
+        assert abs(est_h1 - 1000) / 1000 < 0.10
+    finally:
+        q.stop()
