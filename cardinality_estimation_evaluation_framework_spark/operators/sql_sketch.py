@@ -356,3 +356,13 @@ def countmin_table_by_key_sql(items: DataFrame, keys: list[str],
         .groupBy(*keys, "r", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def exp_adbf_registers_by_key_sql(items: DataFrame, keys: list[str],
+                                  m: int = 65536, decay_rate: float = 10.0,
+                                  seed: int = 0, col: str = "item") -> DataFrame:
+    """(keys..., bucket) — per-key exp-ADBF active-register sets, JVM-side;
+    grouped twin of exp_adbf_registers_sql."""
+    h = _seeded_hash(F.col(col), seed)
+    bucket = _adbf_bucket(h, m, decay_rate)
+    return items.select(*keys, bucket.alias("bucket")).distinct()

@@ -220,3 +220,24 @@ def test_countmin_by_key_sql_matches_solo(spark):
     sums = (grouped.groupBy("source", "r").agg(F.sum("cnt").alias("s")).collect())
     for row in sums:
         assert row["s"] == n_by_src[row["source"]], row
+
+
+def test_exp_adbf_by_key_sql_matches_solo(spark):
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("source"),
+            F.pmod(F.xxhash64("id"), F.lit(4_000)).alias("item"),
+        )
+        .cache()
+    )
+    df.count()
+    grouped = sql_sketch.exp_adbf_registers_by_key_sql(
+        df, ["source"], m=4096, decay_rate=10.0, seed=3)
+    for src in ("0", "1"):
+        sub = {r["bucket"] for r in
+               grouped.where(F.col("source") == src).select("bucket").collect()}
+        solo = {r["bucket"] for r in sql_sketch.exp_adbf_registers_sql(
+            df.where(F.col("source") == src), m=4096, decay_rate=10.0,
+            seed=3).collect()}
+        assert sub == solo, src
