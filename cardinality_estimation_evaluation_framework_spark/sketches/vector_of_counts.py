@@ -29,20 +29,28 @@ from cardinality_estimation_evaluation_framework_spark.sketches.base import (
 
 
 class VocKernel(SketchKernel):
-    def __init__(self, num_buckets: int = 4096, seed: int = 0, portable: bool = False):
+    def __init__(self, num_buckets: int = 4096, seed: int = 0,
+                 portable: bool = False, hash_kind: str = "splitmix"):
         self.num_buckets = num_buckets
         self.seed = seed
         # portable=True swaps splitmix64 for the SQL-expressible affine hash
-        # so the register vector is reproducible by the DuckDB oracle
+        # so the register vector is reproducible by the DuckDB oracle;
+        # hash_kind="farmhash" reproduces the reference's exact bucket path
+        # (farmhash64(str(id), seed) % buckets, ref: vector_of_counts.py:95)
+        # for register-exact parity tests (per-item Python, test-only)
         self.portable = portable
+        self.hash_kind = hash_kind
 
     def spec(self) -> dict[str, Any]:
-        return {
+        spec = {
             "type": "voc",
             "num_buckets": self.num_buckets,
             "seed": self.seed,
             "portable": self.portable,
         }
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {"stats": np.zeros(self.num_buckets, dtype=np.float64)}
@@ -53,6 +61,13 @@ class VocKernel(SketchKernel):
         if self.portable:
             h = (1103515245 * values.astype(np.int64) + self.seed) % (2**31 - 1)
             idx = h % self.num_buckets
+        elif self.hash_kind == "farmhash":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            idx = np.array(
+                [farmhash64.hash64_with_seed(str(int(v)), self.seed)
+                 % self.num_buckets for v in values],
+                dtype=np.int64,
+            )
         else:
             idx = (hash64(values, self.seed) % np.uint64(self.num_buckets)).astype(np.int64)
         state["stats"] += np.bincount(idx, minlength=self.num_buckets)

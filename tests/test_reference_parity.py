@@ -245,3 +245,44 @@ def test_fll_sparse_mode_deactivates_to_dense():
     assert k._sparse_table(m) is None  # poisoned union
     assert m["rho"].max() > 0  # dense plane still valid
     assert k.estimate(m)[0] > 0
+
+
+def test_counting_and_multihash_bloom_register_parity(ref_bf):
+    """Two more families bit-exact vs the reference: the counting bloom
+    filter (SumFunction registers, ref: bloom_filters.py:178-202) on a
+    MULTISET stream, and the classic 3-hash BloomFilter (ref: :56-86,
+    per-hash sub-seeds from the same RandomState derivation)."""
+    rng = np.random.RandomState(5)
+    multiset = rng.randint(1, 10**9, size=5000).astype(np.int64)
+    ref_c = ref_bf.UniformCountingBloomFilter(length=2048, random_seed=4)
+    ref_c.add_ids([int(x) for x in multiset])
+    ours_c = BloomKernel(dist_kind="uniform", m=2048, seed=4, value_fn="sum",
+                         hash_kind="farmhash")
+    st_c = ours_c.update(ours_c.empty(), multiset)
+    assert np.array_equal(ref_c.sketch.astype(np.float64), st_c["registers"])
+
+    ids = np.unique(rng.randint(1, 10**9, size=3000)).astype(np.int64)
+    ref_b = ref_bf.BloomFilter(length=4096, num_hashes=3, random_seed=11)
+    ref_b.add_ids([int(x) for x in ids])
+    ours_b = BloomKernel(dist_kind="uniform", m=4096, num_hashes=3, seed=11,
+                         hash_kind="farmhash")
+    st_b = ours_b.update(ours_b.empty(), ids)
+    assert np.array_equal((ref_b.sketch > 0).astype(np.float64), st_b["registers"])
+
+
+def test_voc_register_parity():
+    """VectorOfCounts bucket vector bit-exact vs the reference
+    (ref: vector_of_counts.py:88-129: farmhash64(str id, seed) % buckets,
+    once-only add contract)."""
+    from cardinality_estimation_evaluation_framework_spark.sketches.vector_of_counts import (
+        VocKernel,
+    )
+
+    voc_mod = ref_module("estimators.vector_of_counts")
+    ids = _ids(3000, seed=21)
+    ref = voc_mod.VectorOfCounts(num_buckets=1024, random_seed=13)
+    ref.add_ids([int(x) for x in ids])
+    ours = VocKernel(num_buckets=1024, seed=13, hash_kind="farmhash")
+    st = ours.update(ours.empty(), ids)
+    assert np.array_equal(ref.stats.astype(np.float64), st["stats"])
+    assert ours.estimate(st)[0] == float(ref.cardinality())
