@@ -196,3 +196,149 @@ def hash64_with_seed(data: bytes | str, seed: int) -> int:
     """farmhashna::Hash64WithSeed = Hash64WithSeeds(s, k2, seed)
     — the function behind ``farmhash.hash64withseed``."""
     return hash64_with_seeds(data, K2, seed)
+
+
+# ---------------------------------------------------------------------------
+# FarmHash32 (the farmhashmk::Hash32 family behind ``farmhash.hash32withseed``,
+# used by the reference's LiquidLegions/CascadingLegions fingerprints —
+# ref: liquid_legions.py:94). Same caveats as the 64-bit port above: pure
+# Python, parity/testing use; cross-checked against the C extension when
+# it is importable.
+# ---------------------------------------------------------------------------
+
+MASK32 = (1 << 32) - 1
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _rot32(v: int, s: int) -> int:
+    return ((v >> s) | (v << (32 - s))) & MASK32
+
+
+def _fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & MASK32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & MASK32
+    h ^= h >> 16
+    return h
+
+
+def _mur(a: int, h: int) -> int:
+    a = (a * _C1) & MASK32
+    a = _rot32(a, 17)
+    a = (a * _C2) & MASK32
+    h ^= a
+    h = _rot32(h, 19)
+    return (h * 5 + 0xE6546B64) & MASK32
+
+
+def _hash32_len_0_to_4(s: bytes, seed: int = 0) -> int:
+    b, c = seed & MASK32, 9
+    for byte in s:
+        v = byte - 256 if byte >= 128 else byte  # signed char semantics
+        b = (b * _C1 + v) & MASK32
+        c ^= b
+    return _fmix32(_mur(b, _mur(len(s), c)))
+
+
+def _hash32_len_5_to_12(s: bytes, seed: int = 0) -> int:
+    n = len(s)
+    a = n & MASK32
+    b = (n * 5) & MASK32
+    c = 9
+    d = (b + seed) & MASK32
+    a = (a + _fetch32(s, 0)) & MASK32
+    b = (b + _fetch32(s, n - 4)) & MASK32
+    c = (c + _fetch32(s, (n >> 1) & 4)) & MASK32
+    return _fmix32((seed ^ _mur(c, _mur(b, _mur(a, d)))) & MASK32)
+
+
+def _hash32_len_13_to_24(s: bytes, seed: int = 0) -> int:
+    n = len(s)
+    a = _fetch32(s, (n >> 1) - 4)
+    b = _fetch32(s, 4)
+    c = _fetch32(s, n - 8)
+    d = _fetch32(s, n >> 1)
+    e = _fetch32(s, 0)
+    f = _fetch32(s, n - 4)
+    h = (d * _C1 + n + seed) & MASK32
+    a = (_rot32(a, 12) + f) & MASK32
+    h = (_mur(c, h) + a) & MASK32
+    a = (_rot32(a, 3) + c) & MASK32
+    h = (_mur(e, h) + a) & MASK32
+    a = (_rot32((a + f) & MASK32, 12) + d) & MASK32
+    h = (_mur((b ^ seed) & MASK32, h) + a) & MASK32
+    return _fmix32(h)
+
+
+def hash32(data: bytes | str) -> int:
+    """farmhashmk::Hash32."""
+    s = data.encode() if isinstance(data, str) else bytes(data)
+    n = len(s)
+    if n <= 4:
+        return _hash32_len_0_to_4(s)
+    if n <= 12:
+        return _hash32_len_5_to_12(s)
+    if n <= 24:
+        return _hash32_len_13_to_24(s)
+
+    h, g = n & MASK32, (_C1 * n) & MASK32
+    f = g
+    a0 = (_rot32((_fetch32(s, n - 4) * _C1) & MASK32, 17) * _C2) & MASK32
+    a1 = (_rot32((_fetch32(s, n - 8) * _C1) & MASK32, 17) * _C2) & MASK32
+    a2 = (_rot32((_fetch32(s, n - 16) * _C1) & MASK32, 17) * _C2) & MASK32
+    a3 = (_rot32((_fetch32(s, n - 12) * _C1) & MASK32, 17) * _C2) & MASK32
+    a4 = (_rot32((_fetch32(s, n - 20) * _C1) & MASK32, 17) * _C2) & MASK32
+    h ^= a0
+    h = (_rot32(h, 19) * 5 + 0xE6546B64) & MASK32
+    h ^= a2
+    h = (_rot32(h, 19) * 5 + 0xE6546B64) & MASK32
+    g ^= a1
+    g = (_rot32(g, 19) * 5 + 0xE6546B64) & MASK32
+    g ^= a3
+    g = (_rot32(g, 19) * 5 + 0xE6546B64) & MASK32
+    f = (_rot32((f + a4) & MASK32, 19) + 113) & MASK32
+    i = 0
+    iters = (n - 1) // 20
+    while iters:
+        a = _fetch32(s, i)
+        b = _fetch32(s, i + 4)
+        c = _fetch32(s, i + 8)
+        d = _fetch32(s, i + 12)
+        e = _fetch32(s, i + 16)
+        h = (h + a) & MASK32
+        g = (g + b) & MASK32
+        f = (f + c) & MASK32
+        h = (_mur(d, h) + e) & MASK32
+        g = (_mur(c, g) + a) & MASK32
+        f = (_mur((b + e * _C1) & MASK32, f) + d) & MASK32
+        f = (f + g) & MASK32
+        g = (g + f) & MASK32
+        i += 20
+        iters -= 1
+    g = (_rot32(g, 11) * _C1) & MASK32
+    g = (_rot32(g, 17) * _C1) & MASK32
+    f = (_rot32(f, 11) * _C1) & MASK32
+    f = (_rot32(f, 17) * _C1) & MASK32
+    h = _rot32((h + g) & MASK32, 19)
+    h = (h * 5 + 0xE6546B64) & MASK32
+    h = (_rot32(h, 17) * _C1) & MASK32
+    h = _rot32((h + f) & MASK32, 19)
+    h = (h * 5 + 0xE6546B64) & MASK32
+    return (_rot32(h, 17) * _C1) & MASK32
+
+
+def hash32_with_seed(data: bytes | str, seed: int) -> int:
+    """farmhashmk::Hash32WithSeed — behind ``farmhash.hash32withseed``."""
+    s = data.encode() if isinstance(data, str) else bytes(data)
+    n = len(s)
+    seed &= MASK32
+    if n <= 24:
+        if n >= 13:
+            return _hash32_len_13_to_24(s, (seed * _C1) & MASK32)
+        if n >= 5:
+            return _hash32_len_5_to_12(s, seed)
+        return _hash32_len_0_to_4(s, seed)
+    h = _hash32_len_13_to_24(s[:24], (seed ^ n) & MASK32)
+    return _mur((hash32(s[24:]) + seed) & MASK32, h)

@@ -35,13 +35,19 @@ from cardinality_estimation_evaluation_framework_spark.sketches.liquid_legions i
 
 
 class CascadingLegionsKernel(SketchKernel):
-    def __init__(self, l: int = 16, m: int = 10_000, seed: int = 0):
+    def __init__(self, l: int = 16, m: int = 10_000, seed: int = 0,
+                 hash_kind: str = "splitmix"):
         self.l = l
         self.m = m
         self.seed = seed
+        # "farmhash32" = the reference's exact fingerprint path (parity tests)
+        self.hash_kind = hash_kind
 
     def spec(self) -> dict[str, Any]:
-        return {"type": "cascading_legions", "l": self.l, "m": self.m, "seed": self.seed}
+        spec = {"type": "cascading_legions", "l": self.l, "m": self.m, "seed": self.seed}
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {
@@ -51,6 +57,12 @@ class CascadingLegionsKernel(SketchKernel):
         }
 
     def _fingerprints(self, values: np.ndarray) -> np.ndarray:
+        if self.hash_kind == "farmhash32":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            return np.array(
+                [farmhash64.hash32_with_seed(str(int(v)), self.seed) for v in values],
+                dtype=np.int64,
+            )
         return (hash64(values, self.seed) & np.uint64(2**32 - 1)).astype(np.int64)
 
     def buckets_for_fingerprints(self, f: np.ndarray) -> np.ndarray:
@@ -67,7 +79,11 @@ class CascadingLegionsKernel(SketchKernel):
             v[movable] >>= np.uint64(shift)
         tz[~nonzero] = self.l - 1
         legion = np.minimum(tz, self.l - 1)
-        rest = f >> (legion + 1).astype(np.uint64)
+        # the reference strips ALL trailing zeros before the sentinel-bit
+        # shift, even past the legion cap (ref: cascading_legions.py:55-63:
+        # the while loop runs to the first set bit, THEN legion is capped) —
+        # shift by tz+1, not legion+1
+        rest = f >> np.minimum(tz + 1, 63).astype(np.uint64)
         pos = (rest % np.uint64(self.m)).astype(np.int64)
         return legion * self.m + pos
 

@@ -42,14 +42,22 @@ from cardinality_estimation_evaluation_framework_spark.sketches.base import (
 
 
 class LiquidLegionsKernel(SketchKernel):
-    def __init__(self, a: float = 10.0, m: int = 10_000, seed: int = 0):
+    def __init__(self, a: float = 10.0, m: int = 10_000, seed: int = 0,
+                 hash_kind: str = "splitmix"):
         assert a > 0, f"decay rate a must be positive, got {a}"
         self.a = a
         self.m = m
         self.seed = seed
+        # "farmhash32" = the reference's exact fingerprint path
+        # (farmhash.hash32withseed(str(id), seed), ref: liquid_legions.py:94)
+        # — per-item Python, parity tests only
+        self.hash_kind = hash_kind
 
     def spec(self) -> dict[str, Any]:
-        return {"type": "liquid_legions", "a": self.a, "m": self.m, "seed": self.seed}
+        spec = {"type": "liquid_legions", "a": self.a, "m": self.m, "seed": self.seed}
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {
@@ -59,8 +67,15 @@ class LiquidLegionsKernel(SketchKernel):
         }
 
     def _fingerprints(self, values: np.ndarray) -> np.ndarray:
-        """32-bit fingerprints (stand-in for farmhash.hash32withseed,
+        """32-bit fingerprints (production: splitmix64 low bits; parity mode:
+        the reference's exact farmhash.hash32withseed path,
         ref: liquid_legions.py:94)."""
+        if self.hash_kind == "farmhash32":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            return np.array(
+                [farmhash64.hash32_with_seed(str(int(v)), self.seed) for v in values],
+                dtype=np.int64,
+            )
         return (hash64(values, self.seed) & np.uint64(2**32 - 1)).astype(np.int64)
 
     def buckets_for_fingerprints(self, f: np.ndarray) -> np.ndarray:

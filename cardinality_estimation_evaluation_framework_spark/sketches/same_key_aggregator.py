@@ -41,23 +41,38 @@ from cardinality_estimation_evaluation_framework_spark.sketches.bloom import (
 
 
 class SameKeyAggregatorKernel(SketchKernel):
-    def __init__(self, m: int = 100_000, decay_rate: float = 10.0, seed: int = 0):
+    def __init__(self, m: int = 100_000, decay_rate: float = 10.0, seed: int = 0,
+                 hash_kind: str = "splitmix"):
         self.m = m
         self.decay_rate = decay_rate
         self.seed = seed
+        # "farmhash" = the reference's exact hash path (AnySketch sub-seed
+        # from RandomState(seed), farmhash64(str id, subseed); all three SKA
+        # trackers share one seed so one hash drives bits/keys/freq —
+        # ref: same_key_aggregator.py:59-84) — parity tests only
+        self.hash_kind = hash_kind
         self.dist = any_sketch.ExponentialDist(m, decay_rate)
         # estimator delegate for the reach component
         self._bloom = BloomKernel(
-            dist_kind="exponential", m=m, seed=seed, decay_rate=decay_rate
+            dist_kind="exponential", m=m, seed=seed, decay_rate=decay_rate,
+            hash_kind=hash_kind,
         )
+        if hash_kind == "farmhash":
+            import sys
+
+            rs = np.random.RandomState(seed)
+            self._farmhash_seed = int(rs.randint(sys.maxsize))
 
     def spec(self) -> dict[str, Any]:
-        return {
+        spec = {
             "type": "ska",
             "m": self.m,
             "decay_rate": self.decay_rate,
             "seed": self.seed,
         }
+        if self.hash_kind != "splitmix":
+            spec["hash_kind"] = self.hash_kind
+        return spec
 
     def empty(self) -> State:
         return {
@@ -73,7 +88,15 @@ class SameKeyAggregatorKernel(SketchKernel):
         if (vals < 0).any():
             # fold negatives into the positive domain (keys must be > 0)
             vals = np.abs(vals)
-        h = hash64(vals, self.seed)
+        if self.hash_kind == "farmhash":
+            from cardinality_estimation_evaluation_framework_spark import farmhash64
+            h = np.array(
+                [farmhash64.hash64_with_seed(str(int(v)), self._farmhash_seed)
+                 for v in vals],
+                dtype=np.uint64,
+            )
+        else:
+            h = hash64(vals, self.seed)
         idx = self.dist.indexes(h)
         any_sketch.fold_or(state["bits"], idx)
         any_sketch.fold_sum(state["freq"], idx)

@@ -40,6 +40,10 @@ def _install_farmhash_shim() -> None:
         s if isinstance(s, (str, bytes)) else str(s), seed)
     shim.hash64 = lambda s: farmhash64.hash64(
         s if isinstance(s, (str, bytes)) else str(s))
+    shim.hash32withseed = lambda s, seed: farmhash64.hash32_with_seed(
+        s if isinstance(s, (str, bytes)) else str(s), seed)
+    shim.hash32 = lambda s: farmhash64.hash32(
+        s if isinstance(s, (str, bytes)) else str(s))
     shim.__is_pure_python_shim__ = True
     sys.modules["farmhash"] = shim
 

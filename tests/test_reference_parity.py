@@ -286,3 +286,93 @@ def test_voc_register_parity():
     st = ours.update(ours.empty(), ids)
     assert np.array_equal(ref.stats.astype(np.float64), st["stats"])
     assert ours.estimate(st)[0] == float(ref.cardinality())
+
+
+def test_liquid_legions_register_parity():
+    """LiquidLegions legionary counts AND the same-key unique plane are
+    bit-exact vs the reference under the shared FarmHash32 fingerprint path
+    (ref: liquid_legions.py:44-99; our sentinel mapping: stored f+1 <-> ref
+    f, collided -1 <-> ref -1, empty 0 <-> absent key)."""
+    from cardinality_estimation_evaluation_framework_spark.sketches import (
+        any_sketch as a_s,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.liquid_legions import (
+        LiquidLegionsKernel,
+    )
+
+    llm = ref_module("estimators.liquid_legions")
+    ids = _ids(4000, seed=7)
+    ref = llm.LiquidLegions(a=10, m=2048, random_seed=5)
+    ref.add_ids([int(x) for x in ids])
+    ours = LiquidLegionsKernel(a=10.0, m=2048, seed=5, hash_kind="farmhash32")
+    # partitioned build: the unique-key lattice must merge associatively
+    parts = np.array_split(ids, 6)
+    st = ours.empty()
+    for part in parts:
+        st = ours.merge(st, ours.update(ours.empty(), part))
+
+    ref_counts = np.zeros(2048, dtype=np.int64)
+    for b, c in ref.sketch.items():
+        ref_counts[b] = c
+    assert np.array_equal(ref_counts, st["counts"])
+
+    for b in range(2048):
+        mine = int(st["unique"][b])
+        theirs = ref.unique.get(b)
+        if mine == a_s.UNIQUE_EMPTY:
+            assert theirs is None, b
+        elif mine == a_s.UNIQUE_COLLIDED:
+            assert theirs == -1, b
+        else:
+            assert theirs == mine - 1, b
+
+
+def test_cascading_legions_register_parity():
+    """CascadingLegions legionary counts bit-exact vs the reference under
+    shared FarmHash32 (ref: cascading_legions.py:55-77), including the
+    trailing-zeros-past-the-cap stripping the kernel now reproduces."""
+    from cardinality_estimation_evaluation_framework_spark.sketches.cascading_legions import (
+        CascadingLegionsKernel,
+    )
+
+    clm = ref_module("estimators.cascading_legions")
+    ids = _ids(4000, seed=31)
+    l, m = 8, 512  # small l so the tz >= l edge is actually exercised
+    ref = clm.CascadingLegions(l, m, random_seed=9)
+    ref.add_ids([int(x) for x in ids])
+    ours = CascadingLegionsKernel(l=l, m=m, seed=9, hash_kind="farmhash32")
+    st = ours.update(ours.empty(), ids)
+    ref_counts = np.zeros(l * m, dtype=np.int64)
+    for b, c in ref.sketch.items():
+        ref_counts[b] = c
+    assert np.array_equal(ref_counts, st["counts"])
+
+
+def test_same_key_aggregator_register_parity():
+    """All three SKA planes bit-exact vs the reference: exponential-ADBF
+    bits, unique-key states (same 0/-1/key+1 encoding), and frequency
+    counts (ref: same_key_aggregator.py:34-85, any_sketch.py:50-101)."""
+    from cardinality_estimation_evaluation_framework_spark.sketches.same_key_aggregator import (
+        SameKeyAggregatorKernel,
+    )
+
+    skam = ref_module("estimators.same_key_aggregator")
+    rng = np.random.RandomState(11)
+    ids = rng.randint(1, 50_000, size=8000).astype(np.int64)  # multiset
+    ref = skam.ExponentialSameKeyAggregator(length=2048, decay_rate=10,
+                                            random_seed=6)
+    for x in ids:
+        ref.add(int(x))
+    ours = SameKeyAggregatorKernel(m=2048, decay_rate=10.0, seed=6,
+                                   hash_kind="farmhash")
+    parts = np.array_split(ids, 4)
+    st = ours.empty()
+    for part in parts:
+        st = ours.merge(st, ours.update(ours.empty(), part))
+    assert np.array_equal(
+        (ref.exponential_bloom_filter.sketch > 0).astype(np.float64),
+        st["bits"])
+    assert np.array_equal(
+        ref.frequency_count_tracker.sketch.astype(np.int64), st["freq"])
+    assert np.array_equal(
+        ref.unique_key_tracker.sketch.astype(np.int64), st["keys"])
