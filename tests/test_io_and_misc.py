@@ -44,6 +44,9 @@ def test_farmhash_bit_parity():
     for s in samples:
         assert farmhash64.hash64(s) == fh.hash64(s), s
         assert farmhash64.hash64_with_seed(s, 7) == fh.hash64withseed(s, 7), s
+        if hasattr(fh, "hash32withseed"):
+            assert farmhash64.hash32(s) == fh.hash32(s), s
+            assert farmhash64.hash32_with_seed(s, 7) == fh.hash32withseed(s, 7), s
 
 
 def test_pure_python_farmhash64_self_consistency():
