@@ -36,6 +36,24 @@ from cardinality_estimation_evaluation_framework_spark.operators.text import (
 )
 
 
+def _cap_hot_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop rows in degenerate buckets (> max_bucket_size members).
+
+    Plan shape: a map-side-combined ``groupBy(keys).count()`` finds the hot
+    buckets (a tiny table — at scale almost every bucket is small), then a
+    left_anti equi-join removes their rows. Unlike a
+    ``count().over(Window.partitionBy(keys))`` this never sorts the banded
+    rows and AQE broadcasts the hot-bucket list, so a skewed bucket costs
+    one counted partial, not a single-reducer sort."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input arrives in fewer splits than
     the cluster has slots (e.g. one small parquet file -> 1 task swallowing
@@ -237,10 +255,7 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
-        banded = banded.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_bucket_size
-        ).drop("_bsz")
+        banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -259,7 +274,10 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
     """LSH candidates verified by exact signature agreement rate (an unbiased
     Jaccard estimate)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, seed)
+    # the signature table is consumed 3x (banding, both verify sides) plus
+    # the hot-bucket count — persist the O(docs x 64-long) result so the
+    # expensive gram-hash kernel runs once, not once per consumer
+    sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -349,7 +367,9 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
 
     ``max_bucket_size`` caps degenerate (chunk, val) buckets the same way as
     :func:`minhash_lsh_candidates` — drop, don't explode quadratically."""
-    sigs = simhash_signatures(docs, text_col, id_col, seed)
+    # persisted: consumed by both join sides + the hot-bucket count, and the
+    # per-doc signature table is tiny relative to the input text
+    sigs = simhash_signatures(docs, text_col, id_col, seed).persist()
     chunks = sigs.select(
         "doc_id", "simhash",
         F.explode(
@@ -363,10 +383,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
     if max_bucket_size is not None:
-        bsz = F.count("*").over(Window.partitionBy("chunk", "val"))
-        chunks = chunks.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_bucket_size
-        ).drop("_bsz")
+        chunks = _cap_hot_buckets(chunks, ["chunk", "val"], max_bucket_size)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -464,15 +481,20 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
 
     vd = F.transform(vec_col, lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
-    e = emb.select(
+    # persist BEFORE the per-band explode: the banding UDF (the expensive
+    # Arrow pass) then runs once, and the 3 consumers (hot-bucket count +
+    # both join sides) replay only the cheap explode
+    base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         vd.alias("v"),
         norm.alias("nrm"),
-        F.posexplode(band_keys(F.col(vec_col))).alias("band", "bucket"),
+        band_keys(F.col(vec_col)).alias("bks"),
+    ).persist()
+    e = base.select(
+        "vid", "v", "nrm", F.posexplode("bks").alias("band", "bucket")
     )
     if max_bucket_size is not None:
-        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
-        e = e.withColumn("_bsz", bsz).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        e = _cap_hot_buckets(e, ["band", "bucket"], max_bucket_size)
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

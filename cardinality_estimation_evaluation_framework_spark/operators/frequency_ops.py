@@ -38,7 +38,12 @@ def heavy_hitters_exact(items: DataFrame, k: int = 20,
     items. The rank column is attached AFTER the limit (k rows)."""
     counts = items.groupBy(col).agg(F.count("*").alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
-    w = Window.orderBy(F.desc("cnt"), F.asc(col))  # over k rows only
+    # rank over the k survivors only. pmod(cnt,1) is a constant-0 partition
+    # key Catalyst can't fold away (bare literals — and cnt*0, since count
+    # is non-nullable — are pruned to an empty spec, which logs the
+    # single-partition warning); one group over k rows is the intent.
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.desc("cnt"), F.asc(col))
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col(col).alias("item"), "cnt", "rank"
     )

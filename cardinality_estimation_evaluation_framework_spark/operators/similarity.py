@@ -35,17 +35,26 @@ def _cosine(vec_col, query: list[float]):
 
 def brute_force_topk(emb: DataFrame, query: list[float], k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine (row_number over a global ordering with id
-    tie-break → deterministic)."""
+    """Exact top-k by cosine, deterministic ordering (cosine DESC, id ASC).
+
+    Plan: score -> ``orderBy().limit(k)``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k + tiny driver merge) — no
+    unpartitioned global window, so the plan survives a billion-row
+    embedding table. The rank column is attached AFTER the limit, over the
+    k surviving rows only."""
     scored = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.round(_cosine(F.col(vec_col), query), 6).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "cosine", "rank")
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    # rank over the k survivors only. pmod(vec_id,1) is a constant-0
+    # partition key Catalyst can't fold away (a bare lit(0) is pruned to an
+    # empty spec, which logs the single-partition warning); one group over
+    # k rows is exactly the intent here.
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "cosine", "rank"
     )
 
 

@@ -36,6 +36,12 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def tree_of(plan: str) -> str:
+    """The operator-tree part of a formatted plan (before the per-node
+    detail blocks, which repeat every node name)."""
+    return plan.split("\n\n(")[0]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # AQE off for the audit: pre-execution formatted plans then show the
@@ -91,6 +97,9 @@ def main() -> None:
         ["Join"],
     ))
     assert "CartesianProduct" not in lsh_plan, "LSH join degenerated to cartesian!"
+    # hot-bucket cap must be groupBy-count + anti-join, not a sorted window
+    assert "Window" not in tree_of(lsh_plan), (
+        "hot-bucket cap regressed to a window over the banded rows!")
 
     # 6. minhash signature build: NO raw-gram shuffle — the only Exchange
     # below the final sig merge moves (doc_id, sig) partials
@@ -116,6 +125,8 @@ def main() -> None:
         ["Join"],
     ))
     assert "CartesianProduct" not in emb_plan, "embedding LSH join is cartesian!"
+    assert "Window" not in tree_of(emb_plan), (
+        "embedding LSH hot-bucket cap regressed to a window!")
 
     # 8. pure-Catalyst HLL build: whole-stage codegen aggregation, ZERO
     # Python operators anywhere in the plan
@@ -145,6 +156,27 @@ def main() -> None:
         hh_plan,
         ["TakeOrderedAndProject"],
     ))
+
+    # 10. cosine top-k: TakeOrdered (per-partition top-k + driver merge) —
+    # never an unpartitioned global window over the scored table
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        similarity,
+    )
+
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb_full.select("embedding").first()[0]
+    topk_plan = plan_of(similarity.brute_force_topk(emb_full, list(qrow), k=10))
+    sections.append((
+        "cosine top-k (TakeOrdered over scored rows; window only over the k survivors)",
+        topk_plan,
+        ["TakeOrderedAndProject"],
+    ))
+    # the only Window allowed is the rank attach AFTER the limit: in the
+    # operator tree it must print ABOVE (execute after) TakeOrderedAndProject
+    topk_tree = tree_of(topk_plan)
+    take_pos = topk_tree.index("TakeOrderedAndProject")
+    assert "Window" not in topk_tree[take_pos:], (
+        "cosine top-k window runs over the full scored table again!")
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
