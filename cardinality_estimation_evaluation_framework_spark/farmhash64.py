@@ -160,12 +160,15 @@ def hash64(data: bytes | str) -> int:
     w = ((w[0] + ((n - 1) & 63)) & MASK64, w[1])
     v = ((v[0] + w[0]) & MASK64, v[1])
     w = ((w[0] + v[0]) & MASK64, w[1])
-    x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & MASK64, 37) * K1) & MASK64
-    y = (_rot((y + v[1] + _fetch64(s, i + 48)) & MASK64, 42) * K1) & MASK64
+    # NOTE: this final block multiplies by `mul`, not K1 — a K1 here passes
+    # every self-consistency test but diverges from true FarmHash for
+    # len > 64 (caught by the Guava farmHashFingerprint64 anchor).
+    x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & MASK64, 37) * mul) & MASK64
+    y = (_rot((y + v[1] + _fetch64(s, i + 48)) & MASK64, 42) * mul) & MASK64
     x ^= (w[1] * 9) & MASK64
     y = (y + v[0] * 9 + _fetch64(s, i + 40)) & MASK64
-    z = (_rot((z + w[0]) & MASK64, 33) * K1) & MASK64
-    v = _weak32(s, i, (v[1] * K1) & MASK64, (x + w[0]) & MASK64)
+    z = (_rot((z + w[0]) & MASK64, 33) * mul) & MASK64
+    v = _weak32(s, i, (v[1] * mul) & MASK64, (x + w[0]) & MASK64)
     w = _weak32(s, i + 32, (z + w[1]) & MASK64, (y + _fetch64(s, i + 16)) & MASK64)
     z, x = x, z
     return _hash_len_16(

@@ -49,6 +49,80 @@ def test_farmhash_bit_parity():
             assert farmhash64.hash32_with_seed(s, 7) == fh.hash32withseed(s, 7), s
 
 
+# Golden FarmHash64 vectors, generated offline from an independent
+# implementation: Guava 33.4.8's Hashing.farmHashFingerprint64(), which is
+# farmhashna::Hash64 — the exact function behind the reference's
+# ``farmhash.hash64`` (ref hash_function.py:53-56). Covers every length
+# path (0-16, 17-32, 33-64, >64 incl. multi-block) so the anchor runs
+# WITHOUT the C farmhash package or a JVM. The >64 entries are the ones
+# that caught a real final-block mul-vs-K1 transcription bug in round 3.
+FARMHASH64_GOLD = {
+    "": 0x9AE16A3B2F90404F,
+    "a": 0xB3454265B6DF75E3,
+    "ab": 0xAA8D6E5242ADA51E,
+    "abc": 0x24A5B3A074E7F369,
+    "abcd": 0x1A5502DE4A1F8101,
+    "hello": 0xB48BE5A931380CE8,
+    "1234567": 0x66BE0F8DAA9284A7,
+    "12345678": 0x2F99D2664A0FB6EA,
+    "hello world 1234": 0xE4A2A90A3CF96176,
+    "seventeen chars!!": 0x73C4F106886DCEF8,
+    "abcdefghijklmnopqrstuvwxy": 0x61C061F2FE328C6B,
+    "The quick brown fox jumps over": 0xE75880B807DFB05A,
+    "x" * 31: 0xC912CA35777CBE1F,
+    "x" * 32: 0xB30B9BACCC74DC05,
+    "x" * 33: 0xAA49185443E61637,
+    "The quick brown fox jumps over the lazy dog once more today":
+        0xD63C1D6E68CE2931,
+    "y" * 63: 0xF5D11B42061DAE59,
+    "y" * 64: 0x3E0F00391283E8B8,
+    "y" * 65: 0xB7D507D910A0625C,
+    "z" * 100: 0x7FF70A2C3BE33A79,
+    "The quick brown fox jumps over the lazy dog. " * 3:
+        0xFCA851E3E5A84CD9,
+    "w" * 128: 0x16ED12E2A2B15398,
+    "w" * 129: 0x806E5413246E5373,
+    "v" * 200: 0x2F7274DC7F383B1C,
+    "u" * 256: 0x154EF811CD1CC1DC,
+    "t" * 1000: 0x34699A2E94FCCA03,
+    "8589934592": 0x716EE10B83FA9D6F,
+    "18446744073709551615": 0xF000D2606CE55E51,
+    "42": 0x08A893485641F708,
+}
+
+
+def test_farmhash64_golden_vectors():
+    """Pin the pure-Python FarmHash64 port to independently generated golden
+    values (Guava farmHashFingerprint64 = farmhashna::Hash64) — no C
+    package, no JVM. This is the external-truth anchor the register-parity
+    suite sits on."""
+    from cardinality_estimation_evaluation_framework_spark import farmhash64 as fh
+
+    for s, expect in FARMHASH64_GOLD.items():
+        assert fh.hash64(s) == expect, f"farmhash64 mismatch for {s[:32]!r}"
+
+
+def test_farmhash64_guava_anchor(spark):
+    """Cross-check the port against Guava's farmHashFingerprint64 in Spark's
+    own JVM on randomized inputs (breadth beyond the fixed golden set).
+    Guava ships inside pyspark's jars, so this runs in every environment."""
+    import random
+
+    from cardinality_estimation_evaluation_framework_spark import farmhash64 as fh
+
+    jvm = spark.sparkContext._jvm
+    guava = jvm.com.google.common.hash.Hashing.farmHashFingerprint64()
+
+    def fp64(b: bytes) -> int:
+        return guava.hashBytes(bytearray(b)).asLong() & (2**64 - 1)
+
+    rng = random.Random(42)
+    for _ in range(150):
+        n = rng.randint(0, 500)
+        b = bytes(rng.randint(0, 255) for _ in range(n))
+        assert fh.hash64(b) == fp64(b), f"len={n}"
+
+
 def test_pure_python_farmhash64_self_consistency():
     """Deterministic, seed-sensitive, all length paths covered (0-16, 17-32,
     33-64, >64) — runs regardless of the C library."""
