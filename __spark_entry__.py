@@ -174,27 +174,46 @@ def q_countmin_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="r int, bucket int, cnt int")
 
 
-def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed KLL quantile sketch over lineitem.l_extendedprice.
+def _quantile_rank_check(spark: SparkSession, sf_dir: str, kernel, eps: float) -> DataFrame:
+    """Bound-checked quantile gate row: (q, n, within_eps).
 
-    No SQL oracle (compaction is sampling-based); accuracy is bound-checked
-    in pytest (rank error <= eps) — the driver records a rows-only check."""
-    k = KllKernel(k=200, seed=11)
+    The sketch answers can't be reproduced by ANSI SQL (compaction is
+    sampling-based), but the BOUND can be checked exactly: for each
+    estimate v the exact rank bracket [count(x<v), count(x<=v)] / n is
+    computed JVM-side in one aggregate pass, and within_eps asserts the
+    published rank-error guarantee |rank(v) - q| <= eps. The DuckDB twin
+    pins n (same table, really read) and the expected TRUE verdicts, so
+    the gate FAILS if the sketch ever violates its bound — a real
+    per-run check instead of rows-only."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    state = agg.sketch(li, k, col="l_extendedprice")
-    vals = k.quantile(state, _QUANTILE_QS)
-    rows = [Row(q=float(q), value=float(v)) for q, v in zip(_QUANTILE_QS, vals)]
-    return spark.createDataFrame(rows, schema="q double, value double")
+    state = agg.sketch(li, kernel, col="l_extendedprice")
+    vals = kernel.quantile(state, _QUANTILE_QS)
+    c = F.col("l_extendedprice")
+    aggs = [F.count("*").alias("n")]
+    for i, v in enumerate(vals):
+        aggs.append(F.sum((c < float(v)).cast("long")).alias(f"lt_{i}"))
+        aggs.append(F.sum((c <= float(v)).cast("long")).alias(f"le_{i}"))
+    r = li.agg(*aggs).first()
+    n = int(r["n"])
+    rows = []
+    for i, q in enumerate(_QUANTILE_QS):
+        lo, hi = r[f"lt_{i}"] / n, r[f"le_{i}"] / n
+        ok = (hi >= q - eps) and (lo <= q + eps)
+        rows.append(Row(q=float(q), n=n, within_eps=bool(ok)))
+    return spark.createDataFrame(rows, schema="q double, n long, within_eps boolean")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KLL sketch over lineitem.l_extendedprice, gate-checked
+    against its rank-error bound eps ~ C/k (see _quantile_rank_check)."""
+    k = KllKernel(k=200, seed=11)
+    return _quantile_rank_check(spark, sf_dir, k, eps=k.eps())
 
 
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed t-digest over lineitem.l_extendedprice (rows-only check)."""
-    k = TDigestKernel(delta=200)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    state = agg.sketch(li, k, col="l_extendedprice")
-    vals = k.quantile(state, _QUANTILE_QS)
-    rows = [Row(q=float(q), value=float(v)) for q, v in zip(_QUANTILE_QS, vals)]
-    return spark.createDataFrame(rows, schema="q double, value double")
+    """Distributed t-digest over lineitem.l_extendedprice, gate-checked at
+    the conservative 1% absolute rank-error bound pytest also uses."""
+    return _quantile_rank_check(spark, sf_dir, TDigestKernel(delta=200), eps=0.01)
 
 
 def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +513,27 @@ def oracle_sql() -> dict[str, str]:
                 f" ) GROUP BY bucket"
                 for r in range(cm.depth)
             )
+        ),
+        # quantile sketches: the sketch VALUES are not SQL-expressible, but
+        # the rank-error bound verdict is exact — Spark computes each
+        # estimate's exact rank bracket and emits within_eps; DuckDB pins n
+        # from the same table plus the expected all-TRUE verdicts, so a
+        # bound violation is a gate FAILURE (upgraded from rows-only).
+        "kll_quantiles": (
+            "SELECT CAST(t.q AS DOUBLE) AS q,"
+            " (SELECT count(*) FROM lineitem) AS n,"
+            " TRUE AS within_eps"
+            " FROM (VALUES " +
+            ", ".join(f"({q})" for q in _QUANTILE_QS) +
+            ") t(q)"
+        ),
+        "tdigest_quantiles": (
+            "SELECT CAST(t.q AS DOUBLE) AS q,"
+            " (SELECT count(*) FROM lineitem) AS n,"
+            " TRUE AS within_eps"
+            " FROM (VALUES " +
+            ", ".join(f"({q})" for q in _QUANTILE_QS) +
+            ") t(q)"
         ),
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
