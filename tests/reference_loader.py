@@ -73,8 +73,16 @@ def _install_scipy_shim() -> None:
             k = np.asarray(k, dtype=np.float64)
             return 1 - np.power(1 - p, np.floor(k))
 
+    def _comb(n, k, exact=False):  # scipy.special.comb semantics (float)
+        n, k = int(n), int(k)
+        if k < 0 or n < 0 or k > n:
+            return 0 if exact else 0.0
+        c = __import__("math").comb(n, k)
+        return c if exact else float(c)
+
     stats_mod.geom = _Geom()
     special_mod.expi = np.vectorize(expi, otypes=[np.float64])
+    special_mod.comb = _comb
     scipy_mod.stats = stats_mod
     scipy_mod.special = special_mod
     sys.modules["scipy"] = scipy_mod
