@@ -12,7 +12,9 @@ Reference semantics (ref: src/estimators/liquid_legions.py):
 - Estimator.estimate_from_all: denoise the ones-count vector-of-counts via
   the inverse bit-flip transition matrix (ref: :205-267)
 - VennEstimator: per-register 2^k combination histogram x inverse transition
-  matrix → Venn component cardinalities, k <= 2 (ref: :270-370)
+  matrix → Venn component cardinalities; k <= 2 matches the reference
+  (ref: :270-370), k >= 3 implements the generalization the reference
+  leaves NotImplemented (Möbius solve; see VennEstimator docstring)
 - Sampler/SequentialEstimator: seeded Monte-Carlo posterior register
   sampling; ORDER-DEPENDENT — driver-side only (ref: :373-593)
 
@@ -186,11 +188,21 @@ def estimate_from_all(kernel: LiquidLegionsKernel, states: list[State], p: float
 
 
 class VennEstimator:
-    """Venn component cardinalities for k <= 2 sketches
-    (ref: liquid_legions.py:270-370)."""
+    """Venn component cardinalities for k sketches.
+
+    k <= 2 follows the reference formulas exactly (ref:
+    liquid_legions.py:270-370, including its union clamp). k >= 3
+    generalizes what the reference leaves as ``NotImplementedError``
+    ("can be generalized using recursion"): for every nonempty subset S of
+    sketches the union cardinality u_S is estimated from the denoised
+    combination counts, then the region cardinalities x_T solve the linear
+    system u_S = sum_{T: T∩S != ∅} x_T (a Möbius inversion over the subset
+    lattice), with subset-monotonicity enforced on u and negative regions
+    clamped to 0 — the same role the reference's k=2 clamp plays. Cost is
+    O(4^k) — fine for the handfuls of sketches this is used on."""
 
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State]):
-        assert 1 <= len(states) <= 2, "Venn implemented for k <= 2 (as the reference)"
+        assert len(states) >= 1, "need at least one sketch"
         self.kernel = kernel
         self.states = states
         self.ps = [float(s["noise"][0]) for s in states]
@@ -225,11 +237,37 @@ class VennEstimator:
         card = self.kernel.cardinality_for_count
         if len(self.states) == 1:
             return np.array([0.0, card(f[1])])
-        a = card(f[1] + f[3])
-        b = card(f[2] + f[3])
-        a_or_b = card(f[1] + f[2] + f[3])
-        a_or_b = max(min(a + b, a_or_b), a, b)
-        return np.array([0.0, a_or_b - b, a_or_b - a, a + b - a_or_b])
+        if len(self.states) == 2:
+            a = card(f[1] + f[3])
+            b = card(f[2] + f[3])
+            a_or_b = card(f[1] + f[2] + f[3])
+            a_or_b = max(min(a + b, a_or_b), a, b)
+            return np.array([0.0, a_or_b - b, a_or_b - a, a + b - a_or_b])
+        return self._general(f)
+
+    def _general(self, f: np.ndarray) -> np.ndarray:
+        """Möbius-solve region cardinalities for arbitrary k (reference
+        leaves k >= 3 NotImplemented). For k = 2 this reproduces the
+        reference's pre-clamp formulas exactly (pinned in tests)."""
+        k = len(self.states)
+        n = 2**k
+        card = self.kernel.cardinality_for_count
+        u = np.zeros(n)
+        for s in range(1, n):
+            u[s] = card(sum(f[j] for j in range(1, n) if j & s))
+        # subset-monotonicity: union over a superset can't be smaller
+        # (plays the role of the reference's k=2 a_or_b clamp)
+        for s in range(1, n):
+            for bit in range(k):
+                if s >> bit & 1:
+                    sub = s & ~(1 << bit)
+                    if sub:
+                        u[s] = max(u[s], u[sub])
+        mat = np.array(
+            [[1.0 if (t & s) else 0.0 for t in range(1, n)] for s in range(1, n)]
+        )
+        x = np.linalg.solve(mat, u[1:])
+        return np.concatenate([[0.0], np.maximum(x, 0.0)])
 
 
 class Sampler:
@@ -240,7 +278,7 @@ class Sampler:
     """
 
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State], rng: np.random.RandomState):
-        assert 1 <= len(states) <= 2
+        assert len(states) >= 1
         self.kernel = kernel
         self.states = states
         self.rng = rng
@@ -252,22 +290,50 @@ class Sampler:
         return self.venn.transition_matrix().T  # [observed, true] row lookup
 
     def _venn_priors(self) -> np.ndarray:
-        """Matrix [register, combination] of priors (ref: :478-500)."""
+        """Matrix [register, combination] of priors (ref: :478-500; the k=1
+        and k=2 closed forms are the reference's — the general path below
+        reproduces them exactly and extends to k >= 3, which the reference
+        leaves NotImplemented)."""
         idx = np.arange(self.kernel.m)
         v = self.kernel.hit_probability(idx, self.venn_cardinalities)
         if len(self.states) == 1:
             p1 = v[:, 1]
             return np.stack([1 - p1, p1], axis=1)
-        p1, p2, p3 = v[:, 1], v[:, 2], v[:, 3]
-        return np.stack(
-            [
-                (1 - p1) * (1 - p2) * (1 - p3),
-                p1 * (1 - p2) * (1 - p3),
-                (1 - p1) * p2 * (1 - p3),
-                p1 * p2 * (1 - p3) + p3,
-            ],
-            axis=1,
-        )
+        if len(self.states) == 2:
+            p1, p2, p3 = v[:, 1], v[:, 2], v[:, 3]
+            return np.stack(
+                [
+                    (1 - p1) * (1 - p2) * (1 - p3),
+                    p1 * (1 - p2) * (1 - p3),
+                    (1 - p1) * p2 * (1 - p3),
+                    p1 * p2 * (1 - p3) + p3,
+                ],
+                axis=1,
+            )
+        return self._venn_priors_general(v)
+
+    def _venn_priors_general(self, v: np.ndarray) -> np.ndarray:
+        """P(observed combination c) = sum over region subsets R whose OR of
+        membership masks equals c of prod_{T in R} v_T prod_{T not in R}
+        (1 - v_T). Region T's membership mask IS its index, so the k=2
+        closed form above (e.g. the ``p1 p2 (1-p3) + p3`` cell) is the
+        special case — pinned equal in tests. Regions hit independently
+        given the Venn cardinalities, exactly the reference's model."""
+        k = len(self.states)
+        n_regions = 2**k - 1
+        vr = np.clip(v[:, 1:], 0.0, 1.0)  # clamped region hit probs
+        priors = np.zeros((self.kernel.m, 2**k))
+        for r_mask in range(2**n_regions):
+            prob = np.ones(self.kernel.m)
+            bits = 0
+            for t in range(1, n_regions + 1):
+                if r_mask >> (t - 1) & 1:
+                    bits |= t
+                    prob = prob * vr[:, t - 1]
+                else:
+                    prob = prob * (1 - vr[:, t - 1])
+            priors[:, bits] += prob
+        return priors
 
     def posteriors(self) -> np.ndarray:
         priors = self._venn_priors()

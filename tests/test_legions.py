@@ -78,6 +78,74 @@ def test_liquid_legions_sampler_and_sequential():
     assert abs(est_d - 5_000) / 5_000 < 0.25
 
 
+def test_venn_general_path_matches_k2_reference_formulas():
+    """The Möbius solve (k >= 3 path) must reproduce the reference's k=2
+    closed form on the same combination counts — the clamp-free cells are
+    algebraically identical (x1 = a|b - b etc.), so equality is exact."""
+    k = LiquidLegionsKernel(a=10.0, m=50_000, seed=13)
+    a = k.update(k.empty(), np.arange(0, 15_000, dtype=np.int64))
+    b = k.update(k.empty(), np.arange(8_000, 22_000, dtype=np.int64))
+    venn = VennEstimator(k, [a, b])
+    f = venn.estimate_combinations()
+    np.testing.assert_allclose(venn._general(f), venn(), rtol=1e-9)
+
+
+def test_venn_three_sketches():
+    """k=3 (beyond the reference's NotImplementedError): region estimates
+    track the true Venn regions of three overlapping ranges."""
+    k = LiquidLegionsKernel(a=10.0, m=200_000, seed=14)
+    A = np.arange(0, 30_000, dtype=np.int64)
+    B = np.arange(20_000, 50_000, dtype=np.int64)
+    C = np.arange(25_000, 65_000, dtype=np.int64)
+    sts = [k.update(k.empty(), s) for s in (A, B, C)]
+    venn = VennEstimator(k, sts)()
+    # region index bitmask: 1=A only, 2=B only, 4=C only, 3=A&B only, ...
+    truth = {
+        1: 20_000,          # [0, 20k)
+        2: 0,               # B only: none ([20k,25k) is A&B, rest in C)
+        3: 5_000,           # A&B not C: [20k, 25k)
+        4: 15_000,          # C only: [50k, 65k)
+        6: 20_000,          # B&C not A: [30k, 50k)
+        7: 5_000,           # A&B&C: [25k, 30k)
+        5: 0,               # A&C not B: none
+    }
+    for region, t in truth.items():
+        assert abs(venn[region] - t) <= max(0.12 * t, 2_500), (region, venn)
+    union_est = venn[1:].sum()
+    assert abs(union_est - 65_000) / 65_000 < 0.05
+
+
+def test_sampler_three_sketches_priors_posteriors_and_sample():
+    """k=3 Sampler: the general prior expansion is a proper distribution,
+    agrees with the k=2 closed form when forced onto 2 sketches, and
+    posterior sampling of 3 clean sketches reproduces the sketches."""
+    k = LiquidLegionsKernel(a=10.0, m=20_000, seed=15)
+    A = np.arange(0, 8_000, dtype=np.int64)
+    B = np.arange(4_000, 12_000, dtype=np.int64)
+    sts2 = [k.update(k.empty(), s) for s in (A, B)]
+    s2 = Sampler(k, sts2, np.random.RandomState(1))
+    # general expansion == reference closed form for k=2
+    idx = np.arange(k.m)
+    v = k.hit_probability(idx, s2.venn_cardinalities)
+    np.testing.assert_allclose(
+        s2._venn_priors_general(v), s2._venn_priors(), rtol=1e-9, atol=1e-12)
+
+    C = np.arange(6_000, 16_000, dtype=np.int64)
+    sts3 = [k.update(k.empty(), s) for s in (A, B, C)]
+    s3 = Sampler(k, sts3, np.random.RandomState(2))
+    priors = s3._venn_priors()
+    np.testing.assert_allclose(priors.sum(axis=1), 1.0, atol=1e-9)
+    assert (priors >= -1e-12).all()
+    post = s3.posteriors()
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-9)
+    # clean sketches (p=0): the posterior is a point mass on the observed
+    # combination, so sampling must reproduce the occupancy exactly
+    sampled = s3.sample()
+    for orig, samp in zip(sts3, sampled):
+        np.testing.assert_array_equal(
+            (orig["counts"] > 0).astype(np.int64), samp["counts"])
+
+
 # ---------------- CascadingLegions ----------------
 
 @pytest.mark.parametrize("n", [5_000, 50_000, 500_000])
