@@ -319,6 +319,15 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_threshold(emb, q, threshold=0.35)
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (TakeOrderedAndProject plan — the round-3 fix for
+    the former unpartitioned-global-window scale-killer), value-checked
+    against a DuckDB row_number twin including the rank column."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vector(spark, sf_dir)
+    return sim_ops.brute_force_topk(emb, q, k=10)
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -441,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "similarity_search": q_similarity_search,
+        "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
         "user_session_stats": q_user_session_stats,
         "stratified_level_reach": q_stratified_level_reach,
@@ -622,6 +632,29 @@ scored AS (
   GROUP BY ev.vec_id
 )
 SELECT vec_id, round(c, 6) AS cosine FROM scored WHERE round(c, 6) >= 0.35
+""",
+        "cosine_topk": """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+qn AS (SELECT sqrt(sum(x * x)) AS nrm FROM q),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+scored AS (
+  SELECT ev.vec_id,
+         round(sum(ev.x * q.x)
+               / (sqrt(sum(ev.x * ev.x)) * (SELECT nrm FROM qn)), 6) AS cosine
+  FROM ev JOIN q ON ev.i = q.i
+  GROUP BY ev.vec_id
+)
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "top_customers": (
             "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, "

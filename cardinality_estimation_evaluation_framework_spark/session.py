@@ -30,9 +30,14 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # $SPARK_GRAFT_MASTER overrides the master URL — used by bench_scaling.py
+    # to run the identical job under local-cluster[n,c,mem] (real multi-JVM
+    # executors, separate Python worker pools) for the N->4N-executors
+    # scaling datapoint. Default stays single-JVM local[cores].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -40,6 +45,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # ignored in local[*] mode; sized for local-cluster executors
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "4g"))
+        # local-cluster executors spawn their own Python workers which don't
+        # inherit the driver's sys.path; point them at this checkout. A real
+        # cluster ships the package via spark-submit --py-files instead
+        # (jobs/run_evaluation.py does exactly that).
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            ":".join(
+                p for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ) if p
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # sketch states are small; keep maxRecordsPerBatch high so token
         # explode batches amortize Arrow transfer (measured best at 128k)

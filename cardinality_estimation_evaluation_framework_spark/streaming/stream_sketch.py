@@ -68,6 +68,90 @@ class StreamingSketch:
         return writer.start()
 
 
+class StreamingHeavyHitters:
+    """Streaming top-k heavy hitters: count-min + per-batch candidates.
+
+    Streaming twin of ``frequency_ops.heavy_hitters_countmin``. Per
+    micro-batch: (a) the batch's count-min partial is packed under the
+    epoch id (same exactly-once discipline as StreamingSketch — replays
+    overwrite the same epoch file with identical content); (b) the batch's
+    exact top-``per_batch_candidates`` items land in an epoch candidate
+    file. ``top_k`` merges all epoch CM states (counter-add monoid) and
+    point-estimates the union of candidates.
+
+    Guarantees: count-min never undercounts, so every reported count is an
+    upper bound within eps*N of truth. The candidate set is a recall
+    heuristic — an item is considered iff it was ever batch-locally
+    frequent; with candidates >> k and steady-ish streams the true top-k
+    are all captured (pytest pins a skewed-stream case). State is O(KB)
+    per epoch regardless of stream size.
+    """
+
+    def __init__(self, state_dir: str, width: int = 8192, depth: int = 4,
+                 seed: int = 0, col: str = "item",
+                 per_batch_candidates: int = 256):
+        from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
+            CountMinKernel,
+        )
+
+        self.kernel = CountMinKernel(width=width, depth=depth, seed=seed)
+        self.state_dir = state_dir
+        self.col = col
+        self.per_batch_candidates = per_batch_candidates
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _epoch_path(self, epoch_id: int, kind: str) -> str:
+        return os.path.join(self.state_dir, f"epoch_{epoch_id:012d}.{kind}")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        state = agg.sketch(batch_df, self.kernel, col=self.col)
+        with open(self._epoch_path(epoch_id, "bin"), "wb") as fh:
+            fh.write(self.kernel.pack(state))
+        top = (
+            batch_df.groupBy(self.col)
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(self.col))
+            .limit(self.per_batch_candidates)
+            .collect()
+        )
+        cands = np.array([int(r[0]) for r in top], dtype=np.int64)
+        np.save(self._epoch_path(epoch_id, "npy"), cands)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str,
+              trigger_once: bool = False):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def current_state(self) -> State:
+        packed = []
+        for p in sorted(os.listdir(self.state_dir)):
+            if p.endswith(".bin"):
+                with open(os.path.join(self.state_dir, p), "rb") as fh:
+                    packed.append(fh.read())
+        if not packed:
+            return self.kernel.empty()
+        return self.kernel.unpack(self.kernel.merge_packed(packed))
+
+    def top_k(self, k: int = 20) -> list[tuple[int, int]]:
+        """[(item, est_count)] sorted by est DESC, item ASC."""
+        cands: list[np.ndarray] = []
+        for p in sorted(os.listdir(self.state_dir)):
+            if p.endswith(".npy"):
+                cands.append(np.load(os.path.join(self.state_dir, p)))
+        if not cands:
+            return []
+        items = np.unique(np.concatenate(cands))
+        est = self.kernel.query(self.current_state(), items)
+        order = np.lexsort((items, -est))[:k]
+        return [(int(items[i]), int(est[i])) for i in order]
+
+
 def stateful_grouped_sketch_stream(
     stream_df: DataFrame,
     kernel: SketchKernel,

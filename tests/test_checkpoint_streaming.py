@@ -249,3 +249,64 @@ def test_windowed_sketch_stream(spark, tmp_path):
         assert abs(est_h1 - 1000) / 1000 < 0.10
     finally:
         q.stop()
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """Skewed stream across three files: the streaming CM+candidates
+    operator must surface the true heavy items with CM's no-undercount
+    property (est >= true count), matching the batch exact top-k set."""
+    from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+        StreamingHeavyHitters,
+    )
+
+    src = tmp_path / "hh_src"
+    os.makedirs(src)
+    # heavy items 0..4 appear 2000x each (spread over files), tail unique
+    for i in range(3):
+        heavy = spark.range(5 * 2000).select(
+            (F.col("id") % 5).alias("item"))
+        tail = spark.range(10_000).select(
+            (F.col("id") + 1_000_000 * (i + 1)).alias("item"))
+        heavy.union(tail).write.parquet(str(src / f"f{i}"))
+
+    hh = StreamingHeavyHitters(str(tmp_path / "hh_state"), width=4096,
+                               depth=4, seed=3, per_batch_candidates=64)
+    stream = spark.readStream.schema("item long").parquet(str(src / "f*"))
+    q = hh.start(stream, str(tmp_path / "hh_ckpt"), trigger_once=True)
+    q.awaitTermination(180)
+
+    top = hh.top_k(5)
+    assert sorted(item for item, _ in top) == [0, 1, 2, 3, 4]
+    for item, est in top:
+        assert est >= 3 * 2000  # CM never undercounts the true 6000
+
+
+def test_streaming_quantile_sketches_match_batch(spark, tmp_path):
+    """StreamingSketch is kernel-agnostic: KLL and t-digest states built
+    over a file stream merge to exactly the batch-built state."""
+    from cardinality_estimation_evaluation_framework_spark.sketches.kll import (
+        KllKernel,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
+        TDigestKernel,
+    )
+
+    src = tmp_path / "q_src"
+    os.makedirs(src)
+    for i in range(3):
+        spark.range(i * 20_000, (i + 1) * 20_000).select(
+            (F.col("id") % 9973).cast("double").alias("item")
+        ).write.parquet(str(src / f"p{i}"))
+    whole = spark.range(60_000).select(
+        (F.col("id") % 9973).cast("double").alias("item"))
+
+    for kernel in (KllKernel(k=200, seed=5), TDigestKernel(delta=100)):
+        name = kernel.spec()["type"]
+        ss = StreamingSketch(kernel, str(tmp_path / f"st_{name}"), col="item")
+        stream = spark.readStream.schema("item double").parquet(str(src / "p*"))
+        q = ss.start(stream, str(tmp_path / f"ck_{name}"), trigger_once=True)
+        q.awaitTermination(180)
+        est = kernel.quantile(ss.current_state(), [0.1, 0.5, 0.9])
+        for qq, v in zip([0.1, 0.5, 0.9], est):
+            # true data is uniform over [0, 9973)
+            assert abs(v / 9973 - qq) < 0.05, (name, qq, v)
