@@ -30,6 +30,7 @@ from cardinality_estimation_evaluation_framework_spark.datagen import tokens as 
 from cardinality_estimation_evaluation_framework_spark.operators import (
     aggregate as agg,
     dedup as dedup_ops,
+    frequency_ops,
     similarity as sim_ops,
     sql_sketch,
 )
@@ -215,6 +216,18 @@ def main() -> None:
         q = [float(x) for x in emb.select("embedding").first()[0]]
         sec, _ = timed_best2(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
         queries["cosine_topk"] = sec
+
+        sec, _ = timed_best2(
+            lambda: frequency_ops.heavy_hitters_exact(
+                tok_items.select(F.col("item")), k=20).collect()
+        )
+        queries["heavy_hitters_exact"] = sec
+
+        sec, _ = timed_best2(
+            lambda: dedup_ops.embedding_near_dup_pairs_lsh(
+                emb, threshold=0.9).count()
+        )
+        queries["embedding_near_dup_lsh"] = sec
 
         sec, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()

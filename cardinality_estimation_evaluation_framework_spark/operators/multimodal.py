@@ -68,14 +68,42 @@ def synthesize_media_df(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
+def pil_or_none():
+    """PIL.Image when the imaging lib is installed, else None — the same
+    import-gate pattern as hashing.farmhash_or_none."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
+    """REAL image decode via PIL (activates automatically when the cluster
+    image ships it): decode -> grayscale -> resize to a feature_dim x
+    feature_dim grid -> row means as the feature vector. Deterministic for
+    a given payload; pinned by the skipif-gated test in
+    tests/test_io_and_misc.py."""
+    import io
+
+    img = pil_or_none().open(io.BytesIO(payload)).convert("L")
+    grid = np.asarray(
+        img.resize((feature_dim, feature_dim)), dtype=np.float64
+    )
+    return grid.mean(axis=1).astype(np.float32)
+
+
 def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16) -> np.ndarray:
     """Decode + feature-extract one payload.
 
-    REAL decoding (PIL/libav/opencv) is not available in this environment —
-    the stub is the documented seam: swap this function for a real decoder
-    on a cluster image that ships the codec libs.
+    With ``fake=False``, image payloads go through the REAL decoder when
+    PIL is importable (decode_image_real); otherwise this raises the
+    documented seam error — swap in a real decoder on a cluster image that
+    ships the codec libs (audio/video stay stubbed: no libav here).
     """
     if not fake:
+        if modality == "image" and pil_or_none() is not None:
+            return decode_image_real(payload, feature_dim)
         raise NotImplementedError(
             f"no {modality} codec libraries in this environment; "
             "pass fake=True or plug a real decoder here"

@@ -161,3 +161,41 @@ def test_report_generation(tmp_path):
     path = generate_html_report(metric, None, str(tmp_path))
     html = open(path).read()
     assert "Number of estimable sets" in html and "20" in html
+
+
+def test_real_image_decode_when_pil_present(spark):
+    """Skipif-gated activation of the multimodal decode seam (mirrors the
+    farmhash C-extension pattern): when PIL ships in the image, the REAL
+    decoder must produce deterministic, shape-correct features through the
+    full mapInPandas plumbing."""
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        multimodal,
+    )
+
+    Image = multimodal.pil_or_none()
+    if Image is None:
+        pytest.skip("PIL not installed — decode seam stays documented")
+    import io
+
+    def png_bytes(shade: int) -> bytes:
+        img = Image.new("RGB", (32, 32), (shade, shade // 2, 255 - shade))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        ("m1", "image", png_bytes(10), 32, 32, None, "png"),
+        ("m2", "image", png_bytes(200), 32, 32, None, "png"),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, fake=False, feature_dim=8).collect()
+    }
+    assert set(out) == {"m1", "m2"}
+    for r in out.values():
+        assert len(r["features"]) == 8
+    assert out["m1"]["features"] != out["m2"]["features"]
+    # deterministic: driver-side decode of the same payload matches
+    direct = multimodal.decode_image_real(rows[0][2], feature_dim=8)
+    assert [pytest.approx(x, abs=1e-6) for x in direct.tolist()] == out["m1"]["features"]
