@@ -216,6 +216,38 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_rank_check(spark, sf_dir, TDigestKernel(delta=200), eps=0.01)
 
 
+def q_kll_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile sketches (one KLL per l_returnflag, built in one
+    distributed job via grouped_sketch + grouped_quantiles), gate-checked
+    like kll_quantiles: per (key, q) the estimate's exact rank bracket is
+    computed JVM-side and within_eps pins the bound; DuckDB pins the
+    per-key row counts."""
+    k = KllKernel(k=200, seed=19)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = agg.grouped_sketch(li, k, ["l_returnflag"], "l_extendedprice")
+    answers = agg.grouped_quantiles(sk, k, ["l_returnflag"], _QUANTILE_QS).collect()
+
+    c = F.col("l_extendedprice")
+    key = F.col("l_returnflag")
+    aggs = []
+    for i, r in enumerate(answers):
+        sel = (key == r["l_returnflag"]).cast("long")
+        aggs.append(F.sum(sel).alias(f"n_{i}"))
+        aggs.append(F.sum(sel * (c < float(r["value"])).cast("long")).alias(f"lt_{i}"))
+        aggs.append(F.sum(sel * (c <= float(r["value"])).cast("long")).alias(f"le_{i}"))
+    row = li.agg(*aggs).first()
+    eps = k.eps()
+    out = []
+    for i, r in enumerate(answers):
+        n = int(row[f"n_{i}"])
+        lo, hi = row[f"lt_{i}"] / n, row[f"le_{i}"] / n
+        ok = (hi >= r["q"] - eps) and (lo <= r["q"] + eps)
+        out.append(Row(l_returnflag=r["l_returnflag"], q=float(r["q"]),
+                       n=n, within_eps=bool(ok)))
+    return spark.createDataFrame(
+        out, schema="l_returnflag string, q double, n long, within_eps boolean")
+
+
 def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + per-source aggregation (training-data pipeline op)."""
     docs = _docs(spark, sf_dir)
@@ -437,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voc_register_table": q_voc_register_table,
         "countmin_register_table": q_countmin_register_table,
         "kll_quantiles": q_kll_quantiles,
+        "kll_by_returnflag": q_kll_by_returnflag,
         "tdigest_quantiles": q_tdigest_quantiles,
         "events_hourly": q_events_hourly,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -542,6 +575,15 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(*) FROM lineitem) AS n,"
             " TRUE AS within_eps"
             " FROM (VALUES " +
+            ", ".join(f"({q})" for q in _QUANTILE_QS) +
+            ") t(q)"
+        ),
+        "kll_by_returnflag": (
+            "SELECT k.l_returnflag, CAST(t.q AS DOUBLE) AS q,"
+            " k.n, TRUE AS within_eps"
+            " FROM (SELECT l_returnflag, count(*) AS n FROM lineitem"
+            "       GROUP BY l_returnflag) k"
+            " CROSS JOIN (VALUES " +
             ", ".join(f"({q})" for q in _QUANTILE_QS) +
             ") t(q)"
         ),

@@ -273,7 +273,13 @@ def grouped_sketch_partials(
     item = F.col(col)
     if dtype in ("string", "binary"):
         item = F.xxhash64(item)
-    proj = df.select(*key_cols, item.cast("long").alias("item"))
+    # quantile kernels (KLL/t-digest) declare input_dtype float64 — casting
+    # their values to long would silently truncate; mirror sketch_partials
+    in_dtype = getattr(kernel, "input_dtype", "int64")
+    proj = df.select(
+        *key_cols,
+        item.cast("double" if in_dtype == "float64" else "long").alias("item"),
+    )
     default_par = proj.sparkSession.sparkContext.defaultParallelism
     if proj.rdd.getNumPartitions() < default_par:
         proj = proj.repartition(default_par)
@@ -282,11 +288,13 @@ def grouped_sketch_partials(
         + [StructField("sketch", BinaryType()), StructField("rows", LongType())]
     )
 
+    np_dtype = np.float64 if in_dtype == "float64" else np.int64
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, State] = {}
         counts: dict[tuple, int] = {}
         for pdf in batches:
-            vals = pdf["item"].to_numpy(dtype=np.int64, na_value=0)
+            vals = pdf["item"].to_numpy(dtype=np_dtype, na_value=0)
             keys = pd.MultiIndex.from_frame(pdf[key_cols])
             # vectorized per-key split: sort by key codes, slice runs
             codes, uniq = pd.factorize(keys, sort=False)
@@ -352,5 +360,38 @@ def grouped_estimate(
             out = pdf[key_cols].copy()
             out[value_name] = vals
             yield out
+
+    return sketches_df.mapInPandas(est, schema=schema)
+
+
+def grouped_quantiles(
+    sketches_df: DataFrame,
+    kernel: SketchKernel,
+    key_cols: list[str],
+    qs: list[float],
+    value_name: str = "value",
+) -> DataFrame:
+    """Per-key quantile answers from grouped KLL/t-digest states: one row
+    per (key, q). The estimate step stays distributed (mapInPandas over
+    the per-key sketch rows) — the training-pipeline 'per-source length
+    distribution' query at any key cardinality."""
+    fields = [sketches_df.schema[k] for k in key_cols]
+    schema = StructType(
+        fields
+        + [StructField("q", DoubleType()), StructField(value_name, DoubleType())]
+    )
+    qs_arr = np.asarray([float(q) for q in qs], dtype=np.float64)
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i, raw in enumerate(pdf["sketch"]):
+                vals = kernel.quantile(kernel.unpack(bytes(raw)), qs_arr)
+                out = pdf.iloc[[i] * len(qs_arr)][key_cols].copy()
+                out["q"] = qs_arr
+                out[value_name] = np.asarray(vals, dtype=np.float64)
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return sketches_df.mapInPandas(est, schema=schema)

@@ -160,3 +160,45 @@ def test_exact_max_freq_cap():
     st = k.update(k.empty(), np.array([1] * 10 + [2], dtype=np.int64))
     hist = k.frequency_histogram(st, max_freq=3)
     assert hist.tolist() == [2, 1, 1]
+
+
+def test_grouped_quantile_sketches(spark):
+    """Per-key KLL/t-digest builds: grouped_sketch must carry DOUBLE values
+    through (quantile kernels declare input_dtype float64 — a long cast
+    would truncate silently) and grouped_quantiles must answer within the
+    rank-error bound per key, checked against exact per-key ranks."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        aggregate as agg,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.kll import (
+        KllKernel,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
+        TDigestKernel,
+    )
+
+    n = 60_000
+    df = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        # per-group distinct scale + fractional part: truncation would be
+        # caught by the 0.5-quantile landing on the wrong integer grid
+        ((F.col("id") % 9973) / 7.0 + (F.col("id") % 3) * 10_000).alias("x"),
+    )
+    pdf = df.toPandas()
+    qs = [0.1, 0.5, 0.9]
+
+    for kernel, eps in ((KllKernel(k=200, seed=2), KllKernel(k=200).eps()),
+                        (TDigestKernel(delta=200), 0.01)):
+        sk = agg.grouped_sketch(df, kernel, ["grp"], "x")
+        out = agg.grouped_quantiles(sk, kernel, ["grp"], qs).collect()
+        assert len(out) == 9
+        for r in out:
+            grp_vals = np.sort(pdf[pdf["grp"] == r["grp"]]["x"].to_numpy())
+            rank = np.searchsorted(grp_vals, r["value"]) / len(grp_vals)
+            assert abs(rank - r["q"]) <= eps + 1e-9, (r, rank)
+        # doubles survived the projection: a long cast would make every
+        # answer integral (individual quantiles may land on integers)
+        assert any(r["value"] != int(r["value"]) for r in out)
