@@ -271,15 +271,17 @@ def grouped_sketch_partials(
     """Map-side combine: per (input partition, key) partial states."""
     dtype = dict(df.dtypes)[col]
     item = F.col(col)
-    if dtype in ("string", "binary"):
-        item = F.xxhash64(item)
-    # quantile kernels (KLL/t-digest) declare input_dtype float64 — casting
-    # their values to long would silently truncate; mirror sketch_partials
+    # mirror items_column's dtype contract exactly: float64 kernels
+    # (KLL/t-digest) take the raw values cast to double (a long cast would
+    # truncate; hashing strings would sketch hash values); id kernels hash
+    # strings JVM-side then go int64
     in_dtype = getattr(kernel, "input_dtype", "int64")
-    proj = df.select(
-        *key_cols,
-        item.cast("double" if in_dtype == "float64" else "long").alias("item"),
-    )
+    if in_dtype == "float64":
+        proj = df.select(*key_cols, item.cast("double").alias("item"))
+    else:
+        if dtype in ("string", "binary"):
+            item = F.xxhash64(item)
+        proj = df.select(*key_cols, item.cast("long").alias("item"))
     default_par = proj.sparkSession.sparkContext.defaultParallelism
     if proj.rdd.getNumPartitions() < default_par:
         proj = proj.repartition(default_par)

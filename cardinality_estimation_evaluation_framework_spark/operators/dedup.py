@@ -40,18 +40,21 @@ def _cap_hot_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> Da
     """Drop rows in degenerate buckets (> max_bucket_size members).
 
     Plan shape: a map-side-combined ``groupBy(keys).count()`` finds the hot
-    buckets (a tiny table — at scale almost every bucket is small), then a
-    left_anti equi-join removes their rows. Unlike a
+    buckets (almost always a tiny table — at scale nearly every bucket is
+    small), then a left_anti equi-join removes their rows. Unlike a
     ``count().over(Window.partitionBy(keys))`` this never sorts the banded
-    rows and AQE broadcasts the hot-bucket list, so a skewed bucket costs
-    one counted partial, not a single-reducer sort."""
+    rows, so a skewed bucket costs one counted partial, not a
+    single-reducer sort. The broadcast decision is deliberately left to
+    AQE: it broadcasts the usual small hot list, but degrades gracefully
+    to a shuffle anti-join if a pathological cap/corpus combination makes
+    the hot list itself large (a forced broadcast would OOM instead)."""
     hot = (
         df.groupBy(*keys)
         .agg(F.count("*").alias("_bsz"))
         .where(F.col("_bsz") > max_bucket_size)
         .select(*keys)
     )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+    return df.join(hot, keys, "left_anti")
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -270,14 +273,21 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int = 64,
-                        bands: int = 16, n: int = 3, seed: int = 0) -> DataFrame:
+                        bands: int = 16, n: int = 3, seed: int = 0,
+                        persist: bool = True) -> DataFrame:
     """LSH candidates verified by exact signature agreement rate (an unbiased
-    Jaccard estimate)."""
+    Jaccard estimate).
+
+    ``persist=True`` caches the O(docs x 64-long) signature table
+    (MEMORY_AND_DISK) because it is consumed 3x (banding, both verify
+    sides) plus the hot-bucket count — the expensive gram-hash kernel then
+    runs once. Lifetime note: the cache lives until LRU eviction; repeat
+    invocations with identical inputs share one entry (Spark dedups by
+    canonicalized plan). Pass ``persist=False`` to recompute instead."""
     rows_per_band = num_hashes // bands
-    # the signature table is consumed 3x (banding, both verify sides) plus
-    # the hot-bucket count — persist the O(docs x 64-long) result so the
-    # expensive gram-hash kernel runs once, not once per consumer
-    sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
+    sigs = minhash_signatures(docs, num_hashes, n, seed)
+    if persist:
+        sigs = sigs.persist()
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -361,15 +371,19 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
                            seed: int = 0,
-                           max_bucket_size: int = 100_000) -> DataFrame:
+                           max_bucket_size: int = 100_000,
+                           persist: bool = True) -> DataFrame:
     """Near-dup pairs by hamming distance on simhash, LSH-bucketed on 16-bit
     chunks (a pair within hamming<=3 shares at least one of 4 chunks).
 
     ``max_bucket_size`` caps degenerate (chunk, val) buckets the same way as
-    :func:`minhash_lsh_candidates` — drop, don't explode quadratically."""
-    # persisted: consumed by both join sides + the hot-bucket count, and the
-    # per-doc signature table is tiny relative to the input text
-    sigs = simhash_signatures(docs, text_col, id_col, seed).persist()
+    :func:`minhash_lsh_candidates` — drop, don't explode quadratically.
+    ``persist`` caches the per-doc signature table across its 3 consumers
+    (both join sides + the hot-bucket count); see minhash_dedup_pairs for
+    the lifetime note."""
+    sigs = simhash_signatures(docs, text_col, id_col, seed)
+    if persist:
+        sigs = sigs.persist()
     chunks = sigs.select(
         "doc_id", "simhash",
         F.explode(
@@ -447,7 +461,8 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                                  bands: int = 8, planes_per_band: int = 8,
                                  seed: int = 7, id_col: str = "vec_id",
                                  vec_col: str = "embedding",
-                                 max_bucket_size: int = 100_000) -> DataFrame:
+                                 max_bucket_size: int = 100_000,
+                                 persist: bool = True) -> DataFrame:
     """Banded hyperplane-LSH embedding near-dup pairs — the scale path.
 
     ``bands`` independent sets of ``planes_per_band`` random hyperplanes
@@ -483,13 +498,16 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
     # persist BEFORE the per-band explode: the banding UDF (the expensive
     # Arrow pass) then runs once, and the 3 consumers (hot-bucket count +
-    # both join sides) replay only the cheap explode
+    # both join sides) replay only the cheap explode; see
+    # minhash_dedup_pairs for the cache-lifetime note
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         vd.alias("v"),
         norm.alias("nrm"),
         band_keys(F.col(vec_col)).alias("bks"),
-    ).persist()
+    )
+    if persist:
+        base = base.persist()
     e = base.select(
         "vid", "v", "nrm", F.posexplode("bks").alias("band", "bucket")
     )

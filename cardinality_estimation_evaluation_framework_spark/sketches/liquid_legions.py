@@ -198,8 +198,10 @@ class VennEstimator:
     combination counts, then the region cardinalities x_T solve the linear
     system u_S = sum_{T: T∩S != ∅} x_T (a Möbius inversion over the subset
     lattice), with subset-monotonicity enforced on u and negative regions
-    clamped to 0 — the same role the reference's k=2 clamp plays. Cost is
-    O(4^k) — fine for the handfuls of sketches this is used on."""
+    clamped to 0 — the same role the reference's k=2 clamp plays. Cost of
+    the VENN estimate is O(4^k) (the subset matrix) — fine for handfuls of
+    sketches. (Sampler's prior expansion is steeper, O(2^(2^k)); it caps
+    itself at k=3.)"""
 
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State]):
         assert len(states) >= 1, "need at least one sketch"
@@ -278,7 +280,14 @@ class Sampler:
     """
 
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State], rng: np.random.RandomState):
-        assert len(states) >= 1
+        # the general prior expansion below enumerates region SUBSETS —
+        # 2^(2^k - 1) terms — so it is tractable only for small k (k=3:
+        # 128 terms; k=4 would be 32768, k=5 ~2*10^9). Cap explicitly
+        # rather than hang; fold larger collections pairwise via
+        # sequential_estimate instead.
+        assert 1 <= len(states) <= 3, (
+            "Sampler supports k <= 3 sketches (prior expansion is "
+            "O(2^(2^k)); use sequential_estimate for larger collections)")
         self.kernel = kernel
         self.states = states
         self.rng = rng

@@ -47,7 +47,8 @@ class StreamingSketch:
 
     def current_state(self) -> State:
         paths = sorted(
-            p for p in os.listdir(self.state_dir) if p.startswith("epoch_")
+            p for p in os.listdir(self.state_dir)
+            if p.startswith("epoch_") and p.endswith(".bin")
         )
         packed = []
         for p in paths:
@@ -68,16 +69,16 @@ class StreamingSketch:
         return writer.start()
 
 
-class StreamingHeavyHitters:
+class StreamingHeavyHitters(StreamingSketch):
     """Streaming top-k heavy hitters: count-min + per-batch candidates.
 
-    Streaming twin of ``frequency_ops.heavy_hitters_countmin``. Per
-    micro-batch: (a) the batch's count-min partial is packed under the
-    epoch id (same exactly-once discipline as StreamingSketch — replays
-    overwrite the same epoch file with identical content); (b) the batch's
-    exact top-``per_batch_candidates`` items land in an epoch candidate
-    file. ``top_k`` merges all epoch CM states (counter-add monoid) and
-    point-estimates the union of candidates.
+    Streaming twin of ``frequency_ops.heavy_hitters_countmin``, built on
+    StreamingSketch's epoch discipline (replays overwrite the same epoch
+    file with identical content). Per micro-batch: (a) the batch's
+    count-min partial is packed under the epoch id (inherited); (b) the
+    batch's exact top-``per_batch_candidates`` items land in an epoch
+    candidate file. ``top_k`` merges all epoch CM states (counter-add
+    monoid) and point-estimates the union of candidates.
 
     Guarantees: count-min never undercounts, so every reported count is an
     upper bound within eps*N of truth. The candidate set is a recall
@@ -94,49 +95,32 @@ class StreamingHeavyHitters:
             CountMinKernel,
         )
 
-        self.kernel = CountMinKernel(width=width, depth=depth, seed=seed)
-        self.state_dir = state_dir
-        self.col = col
+        super().__init__(
+            CountMinKernel(width=width, depth=depth, seed=seed),
+            state_dir, col)
         self.per_batch_candidates = per_batch_candidates
-        os.makedirs(state_dir, exist_ok=True)
 
-    def _epoch_path(self, epoch_id: int, kind: str) -> str:
-        return os.path.join(self.state_dir, f"epoch_{epoch_id:012d}.{kind}")
+    def _cand_path(self, epoch_id: int) -> str:
+        return os.path.join(self.state_dir, f"epoch_{epoch_id:012d}.npy")
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        state = agg.sketch(batch_df, self.kernel, col=self.col)
-        with open(self._epoch_path(epoch_id, "bin"), "wb") as fh:
-            fh.write(self.kernel.pack(state))
-        top = (
-            batch_df.groupBy(self.col)
-            .agg(F.count("*").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc(self.col))
-            .limit(self.per_batch_candidates)
-            .collect()
-        )
+        # the batch is consumed twice (CM build + candidate top-N): cache
+        # it for the duration of this synchronous call so the source files
+        # are scanned once per trigger
+        batch_df = batch_df.persist()
+        try:
+            super().process_batch(batch_df, epoch_id)
+            top = (
+                batch_df.groupBy(self.col)
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc(self.col))
+                .limit(self.per_batch_candidates)
+                .collect()
+            )
+        finally:
+            batch_df.unpersist()
         cands = np.array([int(r[0]) for r in top], dtype=np.int64)
-        np.save(self._epoch_path(epoch_id, "npy"), cands)
-
-    def start(self, stream_df: DataFrame, checkpoint_dir: str,
-              trigger_once: bool = False):
-        writer = (
-            stream_df.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
-        )
-        if trigger_once:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-
-    def current_state(self) -> State:
-        packed = []
-        for p in sorted(os.listdir(self.state_dir)):
-            if p.endswith(".bin"):
-                with open(os.path.join(self.state_dir, p), "rb") as fh:
-                    packed.append(fh.read())
-        if not packed:
-            return self.kernel.empty()
-        return self.kernel.unpack(self.kernel.merge_packed(packed))
+        np.save(self._cand_path(epoch_id), cands)
 
     def top_k(self, k: int = 20) -> list[tuple[int, int]]:
         """[(item, est_count)] sorted by est DESC, item ASC."""

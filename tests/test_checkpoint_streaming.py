@@ -282,8 +282,12 @@ def test_streaming_heavy_hitters(spark, tmp_path):
 
 
 def test_streaming_quantile_sketches_match_batch(spark, tmp_path):
-    """StreamingSketch is kernel-agnostic: KLL and t-digest states built
-    over a file stream merge to exactly the batch-built state."""
+    """StreamingSketch is kernel-agnostic: KLL and t-digest stream builds
+    answer within the rank-error bound AND agree with a batch build over
+    the same data. (Exact state equality is NOT the contract here — both
+    kernels' compaction depends on merge topology, which legitimately
+    differs between epoch-merge and partition-tree-merge; the agreement
+    bound is the invariant both sides guarantee.)"""
     from cardinality_estimation_evaluation_framework_spark.sketches.kll import (
         KllKernel,
     )
@@ -307,6 +311,10 @@ def test_streaming_quantile_sketches_match_batch(spark, tmp_path):
         q = ss.start(stream, str(tmp_path / f"ck_{name}"), trigger_once=True)
         q.awaitTermination(180)
         est = kernel.quantile(ss.current_state(), [0.1, 0.5, 0.9])
-        for qq, v in zip([0.1, 0.5, 0.9], est):
+        batch_est = kernel.quantile(
+            agg.sketch(whole, kernel, col="item"), [0.1, 0.5, 0.9])
+        for qq, v, bv in zip([0.1, 0.5, 0.9], est, batch_est):
             # true data is uniform over [0, 9973)
             assert abs(v / 9973 - qq) < 0.05, (name, qq, v)
+            # stream build agrees with the batch build over the same data
+            assert abs(v - bv) / 9973 < 0.05, (name, qq, v, bv)

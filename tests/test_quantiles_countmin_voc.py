@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from cardinality_estimation_evaluation_framework_spark.sketches.countmin import CountMinKernel
 from cardinality_estimation_evaluation_framework_spark.sketches.exact import (
@@ -202,3 +203,16 @@ def test_grouped_quantile_sketches(spark):
         # doubles survived the projection: a long cast would make every
         # answer integral (individual quantiles may land on integers)
         assert any(r["value"] != int(r["value"]) for r in out)
+
+    # string-typed numeric columns cast to double for float64 kernels
+    # (NOT hashed — hashing would silently sketch xxhash64 values)
+    k = KllKernel(k=200, seed=2)
+    df_str = df.select("grp", F.col("x").cast("string").alias("x"))
+    out_d = {(r["grp"], r["q"]): r["value"] for r in
+             agg.grouped_quantiles(agg.grouped_sketch(df, k, ["grp"], "x"),
+                                   k, ["grp"], qs).collect()}
+    out_s = {(r["grp"], r["q"]): r["value"] for r in
+             agg.grouped_quantiles(agg.grouped_sketch(df_str, k, ["grp"], "x"),
+                                   k, ["grp"], qs).collect()}
+    for key in out_d:
+        assert out_s[key] == pytest.approx(out_d[key], rel=1e-9), key
