@@ -32,6 +32,9 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FORMAT_PREFIXES = ("csv:", "json:", "orc:", "parquet:")
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     if ref.startswith(ICEBERG_PREFIX):
         name = ref[len(ICEBERG_PREFIX):]
@@ -42,6 +45,16 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
                 "at a parquet path."
             )
         return spark.read.table(name)
+    for prefix in _FORMAT_PREFIXES:
+        if ref.startswith(prefix):
+            fmt, path = prefix[:-1], ref[len(prefix):]
+            reader = spark.read
+            if fmt == "csv":
+                # header+schema inference: the interchange default; columnar
+                # formats carry their own schema
+                reader = reader.option("header", "true").option(
+                    "inferSchema", "true")
+            return reader.format(fmt).load(path)
     return spark.read.parquet(ref)
 
 
@@ -57,5 +70,33 @@ def write_table(df: DataFrame, ref: str, mode: str = "append",
                 f"Iceberg catalog not on the classpath; cannot write {name!r}."
             )
         writer.saveAsTable(name)
-    else:
-        writer.parquet(ref)
+        return
+    for prefix in _FORMAT_PREFIXES:
+        if ref.startswith(prefix):
+            fmt, path = prefix[:-1], ref[len(prefix):]
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.format(fmt).save(path)
+            return
+    writer.parquet(ref)
+
+
+def write_bucketed_table(df: DataFrame, name: str, buckets: int,
+                         bucket_cols: list[str], mode: str = "overwrite") -> None:
+    """Save as a catalog table bucketed (and sorted) by ``bucket_cols``.
+
+    The 100 TB co-located-join pattern: two tables bucketed the same way
+    on the join key are joined WITHOUT a shuffle — each task zips matching
+    buckets (SortMergeJoin with no Exchange; pinned by
+    tests/test_io_and_misc.py). Use for the recurring joins of a pipeline:
+    (doc_id)-keyed feature tables, (band, bucket)-keyed LSH candidate
+    tables, per-key sketch tables re-joined across runs. On a real
+    cluster this is a Hive/Iceberg-catalog table; local mode uses the
+    in-memory catalog + spark.sql.warehouse.dir.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )

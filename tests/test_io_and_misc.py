@@ -199,3 +199,56 @@ def test_real_image_decode_when_pil_present(spark):
     # deterministic: driver-side decode of the same payload matches
     direct = multimodal.decode_image_real(rows[0][2], feature_dim=8)
     assert [pytest.approx(x, abs=1e-6) for x in direct.tolist()] == out["m1"]["features"]
+
+
+def test_read_table_format_prefixes(spark, tmp_path):
+    from cardinality_estimation_evaluation_framework_spark.sources.io import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    for fmt in ("csv", "json", "orc"):
+        ref = f"{fmt}:{tmp_path}/t_{fmt}"
+        write_table(df, ref, mode="overwrite")
+        back = read_table(spark, ref)
+        assert back.count() == 50
+        assert {r["id"] for r in back.collect()} == set(range(50))
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange operators — the co-located-join pattern that removes the
+    dominant shuffle from recurring large-table joins at 100 TB."""
+    import contextlib
+    import io as _io
+
+    from cardinality_estimation_evaluation_framework_spark.sources.io import (
+        write_bucketed_table,
+    )
+
+    # warehouse dir is a static conf; managed tables land in the session's
+    # default warehouse and are dropped (files removed) in the finally
+    left = spark.range(10_000).selectExpr("id AS k", "id * 3 AS a")
+    right = spark.range(10_000).selectExpr("id AS k", "id * 7 AS b")
+    write_bucketed_table(left, "bk_left", 8, ["k"])
+    write_bucketed_table(right, "bk_right", 8, ["k"])
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the pattern targets tables too big to broadcast — force the
+        # sort-merge path a 100 TB join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        tree = plan.split("\n\n(")[0]
+        assert "Exchange" not in tree, tree
+        assert joined.count() == 10_000
+        row = joined.where("k = 5").first()
+        assert (row["a"], row["b"]) == (15, 35)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
