@@ -1,0 +1,83 @@
+"""End-to-end training-data pipeline over the documents corpus:
+
+    read -> exact dedup -> near-dup (minhash LSH) drop -> quality filter
+         -> language filter -> one-scan sketch stats (reach + frequency
+            + quantiles) -> per-source report
+
+Every stage is the engine's scale path: hash-groupBy dedup, banded LSH
+(never all-pairs), whole-stage-codegen text scoring, and a single-scan
+multi-sketch stats pass whose only shuffle moves O(KB) partial states.
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from cardinality_estimation_evaluation_framework_spark.datagen import tokens as tk
+from cardinality_estimation_evaluation_framework_spark.operators import (
+    aggregate as agg,
+    dedup,
+    text,
+)
+from cardinality_estimation_evaluation_framework_spark.session import get_spark
+from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
+    CountMinKernel,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.hll import HllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.kll import KllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.suite import SuiteKernel
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("pipeline-demo", cores=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source"
+    )
+    n0 = docs.count()
+
+    # 1. exact dedup: keep one doc per md5 fingerprint
+    docs = dedup.dedup_exact(docs)
+    n1 = docs.count()
+
+    # 2. near-dup removal: minhash LSH pairs -> drop the lexically-larger id
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.85)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = docs.join(drop, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 3. quality + language filters (pure Catalyst, codegen)
+    docs = text.with_quality_score(docs).where(F.col("quality_score") >= 0.3)
+    docs = text.with_lang_id(docs).where(F.col("lang_pred") == "en")
+    n3 = docs.count()
+
+    # 4. one-scan sketch stats over the surviving tokens
+    suite = SuiteKernel({
+        "reach": HllKernel(p=12, seed=1),
+        "freq": CountMinKernel(width=4096, depth=4, seed=2),
+    })
+    items = agg.explode_tokens(tk.tokenize_hashed(docs))
+    state = agg.sketch(items, suite)
+    reach = HllKernel(p=12, seed=1).estimate(suite.child(state, "reach"))[0]
+
+    # 5. per-source length quantiles from ONE grouped KLL job
+    k = KllKernel(k=200, seed=3)
+    lens = docs.select("source", F.length("text").cast("double").alias("len"))
+    qs = agg.grouped_quantiles(
+        agg.grouped_sketch(lens, k, ["source"], "len"), k, ["source"],
+        [0.5, 0.95])
+
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3}")
+    print(f"distinct-token reach (HLL): {reach:,.0f}")
+    print("per-source length quantiles (first 6 rows):")
+    for r in sorted(qs.collect())[:6]:
+        print(f"  {r['source']:>12} q={r['q']:.2f} len={r['value']:.0f}")
+
+
+if __name__ == "__main__":
+    main()
