@@ -329,18 +329,23 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over planted duplicates (scale path;
-    accuracy verified against the exact Jaccard gate in pytest — rows-only
-    here, signatures are seeded-random)."""
+    """MinHash+LSH near-dup pairs over planted duplicates — the scale path
+    run in PORTABLE hash mode (md5-u64 gram hash instead of xxhash64, same
+    numpy splitmix64/min-scatter kernel), so the DuckDB twin
+    (dedup.py minhash_dedup_pairs_sql) pins signatures, banding, capping
+    and the agreement estimate value-exactly."""
     docs = _docs_with_planted_dups(spark, sf_dir)
-    return dedup_ops.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+    return dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16, portable=True
+    )
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over planted duplicates, chunk-LSH bucketed
-    (rows-only)."""
+    """SimHash near-dup pairs over planted duplicates, chunk-LSH bucketed —
+    PORTABLE hash mode so the DuckDB twin (simhash_near_dup_pairs_sql) pins
+    the bit-histogram kernel, pack, chunk LSH and hamming filter exactly."""
     docs = _docs_with_planted_dups(spark, sf_dir)
-    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=10)
+    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=10, portable=True)
 
 
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +499,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL over the same parquet views)
 # --------------------------------------------------------------------------
 
+_PLANTED_DOCS_SQL = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+    " WHERE doc_id % 50 = 0"
+    " UNION ALL"
+    " SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS doc_id,"
+    " text || ' extra' AS text FROM documents WHERE doc_id % 50 = 0"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     toks = f"WITH {tk.TOKENS_CTE_DUCKDB}"
     vocab = f"WITH {tk.TOKENS_CTE_DUCKDB}, {tk.VOCAB_CTE_DUCKDB}"
@@ -618,10 +632,20 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_dups, min(CAST(doc_id AS VARCHAR)) AS keep_id"
             " FROM documents GROUP BY 1 HAVING count(*) > 1"
         ),
-        "ngram_jaccard_pairs": (
-            dedup_ops.ngram_jaccard_pairs_sql(n=3, threshold=0.01).replace(
-                "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 50 = 0)"
-            )
+        "ngram_jaccard_pairs": dedup_ops.ngram_jaccard_pairs_sql(
+            n=3, threshold=0.01,
+            source_sql="SELECT * FROM documents WHERE doc_id % 50 = 0",
+        ),
+        # minhash/simhash: full pure-SQL re-derivations of the portable-hash
+        # pipelines (md5-u64 + splitmix64 via HUGEINT wrap-64 arithmetic) —
+        # value-exact twins of the numpy kernels, over the same planted-dup
+        # corpus as the Spark queries (see _docs_with_planted_dups).
+        "minhash_dedup": dedup_ops.minhash_dedup_pairs_sql(
+            threshold=0.5, num_hashes=64, bands=16,
+            source_sql=_PLANTED_DOCS_SQL,
+        ),
+        "simhash_near_dup": dedup_ops.simhash_near_dup_pairs_sql(
+            max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
         ),
         "embedding_near_dup": """
 WITH ev AS (

@@ -198,12 +198,20 @@ def main() -> None:
         )
         queries["token_freq_hist"] = sec
 
-        sec, _ = timed_best2(
-            lambda: dedup_ops.minhash_dedup_pairs(
+        def run_minhash():
+            # persist=True is the production posture (sig table reused by
+            # its 3-4 consumers WITHIN the run); unpersisting after the
+            # count keeps the second best-of-2 rep cold instead of
+            # replaying the first rep's cache via plan canonicalization
+            pairs = dedup_ops.minhash_dedup_pairs(
                 docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
                 threshold=0.8, num_hashes=64, bands=16,
-            ).count()
-        )
+            )
+            n = pairs.count()
+            dedup_ops.unpersist_intermediates(pairs, blocking=True)
+            return n
+
+        sec, _ = timed_best2(run_minhash)
         queries["minhash_dedup_docs"] = sec
 
         sec, _ = timed_best2(
@@ -223,10 +231,13 @@ def main() -> None:
         )
         queries["heavy_hitters_exact"] = sec
 
-        sec, _ = timed_best2(
-            lambda: dedup_ops.embedding_near_dup_pairs_lsh(
-                emb, threshold=0.9).count()
-        )
+        def run_emb_lsh():
+            pairs = dedup_ops.embedding_near_dup_pairs_lsh(emb, threshold=0.9)
+            n = pairs.count()
+            dedup_ops.unpersist_intermediates(pairs, blocking=True)
+            return n
+
+        sec, _ = timed_best2(run_emb_lsh)
         queries["embedding_near_dup_lsh"] = sec
 
         sec, _ = timed_best2(

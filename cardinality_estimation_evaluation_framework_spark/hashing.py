@@ -111,3 +111,82 @@ def derive_seeds(random_seed: int, n: int) -> np.ndarray:
 
 def farmhash_or_none():
     return _farmhash
+
+
+# --------------------------------------------------------------------------
+# Portable 64-bit string hash + splitmix64, expressible in BOTH Spark SQL
+# and DuckDB SQL — used by the oracle-gate variants of minhash/simhash so
+# the full numpy signature kernels can be pinned value-exactly by a DuckDB
+# twin (the production paths keep JVM-side xxhash64, which DuckDB cannot
+# reproduce).
+# --------------------------------------------------------------------------
+
+GOLDEN_GAMMA = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_M64 = 2**64
+
+
+def splitmix_offset(seed: int) -> int:
+    """The additive offset :func:`splitmix64` derives from ``seed``."""
+    return (seed * GOLDEN_GAMMA) % _M64
+
+
+def md5_u64_spark(col):
+    """Spark Column: first 8 md5 bytes (big-endian) as signed-bits int64.
+
+    Equals :func:`md5_u64_duckdb`'s UBIGINT value mod 2^64. ANSI-safe: each
+    ``conv`` half is < 2^32 before the shift, and ``shiftleft`` wraps bits
+    instead of overflow-checking.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def md5_u64_duckdb(expr: str) -> str:
+    """DuckDB SQL text: same 64 bits as :func:`md5_u64_spark`, as UBIGINT."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 16) AS UBIGINT)"
+
+
+def _mul64_duckdb(a_expr: str, const: int) -> str:
+    """(a * const) mod 2^64 without overflowing HUGEINT: split the constant
+    into 32-bit halves so every intermediate stays < 2^97."""
+    chi, clo = const >> 32, const & 0xFFFFFFFF
+    return (
+        f"CAST((CAST({a_expr} AS HUGEINT)*{clo}"
+        f" + ((CAST({a_expr} AS HUGEINT)*{chi}) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def splitmix64_duckdb_select(x_expr: str, off_expr: str,
+                             out_alias: str = "h") -> str:
+    """SELECT-list fragment computing splitmix64(x + off) via DuckDB lateral
+    column aliases (z0..z2 intermediates). ``off_expr`` must already be the
+    additive offset (:func:`splitmix_offset`), as UBIGINT. The result alias
+    carries the uint64 value; append a signed conversion where needed."""
+    z0 = (
+        f"CAST((CAST({x_expr} AS HUGEINT) + CAST({off_expr} AS HUGEINT))"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+    return (
+        f"{z0} AS _sm_z0, "
+        f"xor(_sm_z0, _sm_z0 >> 30) AS _sm_x1, "
+        f"{_mul64_duckdb('_sm_x1', _SM_C1)} AS _sm_z1, "
+        f"xor(_sm_z1, _sm_z1 >> 27) AS _sm_x2, "
+        f"{_mul64_duckdb('_sm_x2', _SM_C2)} AS _sm_z2, "
+        f"xor(_sm_z2, _sm_z2 >> 31) AS {out_alias}"
+    )
+
+
+def u64_to_i64_duckdb(expr: str, out_alias: str) -> str:
+    """SELECT-list fragment: reinterpret a UBIGINT as signed-bits BIGINT."""
+    return (
+        f"CASE WHEN {expr} >= 9223372036854775808"
+        f" THEN CAST(CAST({expr} AS HUGEINT) - 18446744073709551616 AS BIGINT)"
+        f" ELSE CAST({expr} AS BIGINT) END AS {out_alias}"
+    )

@@ -68,7 +68,10 @@ def items_column(df: DataFrame, col: str, input_dtype: str = "int64") -> DataFra
     if dtype.startswith("array"):
         raise ValueError("explode arrays before sketching (use explode_tokens)")
     if input_dtype == "float64":
-        return df.select(c.cast("double").alias("item"))
+        # drop nulls BEFORE the kernel: na_value=0 in the Arrow transfer
+        # would silently inject 0.0 into quantile sketches and skew low
+        # quantiles — a quantile over the raw column never sees nulls
+        return df.where(c.isNotNull()).select(c.cast("double").alias("item"))
     if dtype in ("string", "binary"):
         c = F.xxhash64(c)
     return df.select(c.cast("long").alias("item"))
@@ -277,7 +280,12 @@ def grouped_sketch_partials(
     # strings JVM-side then go int64
     in_dtype = getattr(kernel, "input_dtype", "int64")
     if in_dtype == "float64":
-        proj = df.select(*key_cols, item.cast("double").alias("item"))
+        # null items are dropped, not zero-filled (see items_column) — the
+        # keys of all-null groups then simply emit no partial, matching
+        # what a per-key quantile over the raw column would produce
+        proj = df.where(item.isNotNull()).select(
+            *key_cols, item.cast("double").alias("item")
+        )
     else:
         if dtype in ("string", "binary"):
             item = F.xxhash64(item)

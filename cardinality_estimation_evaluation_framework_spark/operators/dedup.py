@@ -30,7 +30,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from cardinality_estimation_evaluation_framework_spark.hashing import splitmix64
+from cardinality_estimation_evaluation_framework_spark.hashing import (
+    md5_u64_duckdb,
+    md5_u64_spark,
+    splitmix64,
+    splitmix64_duckdb_select,
+    splitmix_offset,
+    u64_to_i64_duckdb,
+)
 from cardinality_estimation_evaluation_framework_spark.operators.text import (
     with_fingerprint,
 )
@@ -55,6 +62,30 @@ def _cap_hot_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> Da
         .select(*keys)
     )
     return df.join(hot, keys, "left_anti")
+
+
+def _attach_persisted(df: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Record the persist()ed intermediates on the returned DataFrame so a
+    caller that materializes the result can release the cache entries with
+    :func:`unpersist_intermediates` — without this the MEMORY_AND_DISK
+    entries live until LRU eviction (fine for repeat calls on the same
+    input, which share one entry by plan canonicalization, but a leak for
+    long-lived sessions sweeping many inputs)."""
+    df._ceef_persisted = persisted  # type: ignore[attr-defined]
+    return df
+
+
+def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist intermediates attached by the dedup pair builders.
+
+    Call AFTER materializing ``df`` (count/collect/write); returns the
+    number of cache entries released. No-op on frames without attachments.
+    """
+    persisted = getattr(df, "_ceef_persisted", None) or []
+    for p in persisted:
+        p.unpersist(blocking=blocking)
+    df._ceef_persisted = []  # type: ignore[attr-defined]
+    return len(persisted)
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -152,13 +183,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8,
+                            source_sql: str = "SELECT * FROM documents") -> str:
     """DuckDB oracle twin of ngram_jaccard_pairs over the documents view."""
     return f"""
 WITH words AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM documents
+  FROM ({source_sql})
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
@@ -188,7 +220,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= {thresh
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        seed: int = 0, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """(doc_id, sig array<long>): minhash over word n-gram hashes.
 
     Scale posture: ZERO raw-gram shuffles. min() is duplicate-insensitive so
@@ -202,10 +234,17 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     cache-hot, which measures ~2.5x FASTER than sort+reduceat and ~20x
     faster than a (grams x k) 2D remix matrix (huge temporaries) — the
     "unbuffered ufunc" cost only bites when the target is large.
+
+    ``portable=True`` swaps the JVM gram hash from xxhash64 to the md5-u64
+    portable hash (still JVM-side) so a DuckDB oracle
+    (:func:`minhash_dedup_pairs_sql`) can pin the whole pipeline —
+    splitmix64 remixes, min-scatter kernel, banding, verification —
+    value-exactly. The numpy kernel is IDENTICAL on both paths.
     """
+    gram_hash = md5_u64_spark(F.col("gram")) if portable else F.xxhash64("gram")
     grams = word_ngrams(
         _ensure_parallelism(docs), n, text_col, id_col, distinct=False
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ).select("doc_id", gram_hash.alias("gh"))
 
     def per_batch(batches):
         for pdf in batches:
@@ -228,7 +267,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
 
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
                            rows_per_band: int = 4,
-                           max_bucket_size: int = 100_000) -> DataFrame:
+                           max_bucket_size: int = 100_000,
+                           portable: bool = False) -> DataFrame:
     """Band the signature; candidates = pairs sharing any band bucket.
     The quadratic join becomes an equi-join on (band, bucket).
 
@@ -236,23 +276,24 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
     (boilerplate text collapsing millions of docs into one signature band)
     would make the candidate join quadratic in that bucket, so buckets above
     the cap are dropped before the self-join. Near-dup pairs inside a dropped
-    bucket still surface through the doc's other bands."""
+    bucket still surface through the doc's other bands.
+
+    ``portable=True`` keeps the bucket as the raw comma-joined value string
+    (equality-identical to the xxhash64 compaction, modulo hash collisions)
+    so the DuckDB twin can reproduce it; production hashes it to a long to
+    shrink shuffle rows."""
+    def bucket_col(b):
+        joined = F.concat_ws(
+            ",",
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = signatures.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(b).alias("band"), bucket_col(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
@@ -274,7 +315,7 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int = 64,
                         bands: int = 16, n: int = 3, seed: int = 0,
-                        persist: bool = True) -> DataFrame:
+                        persist: bool = True, portable: bool = False) -> DataFrame:
     """LSH candidates verified by exact signature agreement rate (an unbiased
     Jaccard estimate).
 
@@ -285,10 +326,12 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
     invocations with identical inputs share one entry (Spark dedups by
     canonicalized plan). Pass ``persist=False`` to recompute instead."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, seed)
+    sigs = minhash_signatures(docs, num_hashes, n, seed, portable=portable)
+    persisted = []
     if persist:
         sigs = sigs.persist()
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+        persisted.append(sigs)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, portable=portable)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
@@ -297,13 +340,83 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
             lambda v: v == 1,
         )
     ) / F.lit(num_hashes)
-    return (
+    out = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", F.round(agree, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    return _attach_persisted(out, persisted)
+
+
+def minhash_dedup_pairs_sql(threshold: float = 0.8, num_hashes: int = 64,
+                            bands: int = 16, n: int = 3, seed: int = 0,
+                            max_bucket_size: int = 100_000,
+                            source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of ``minhash_dedup_pairs(..., portable=True)``.
+
+    Reproduces the ENTIRE pipeline value-exactly in pure SQL: md5-u64 gram
+    hash, per-remix splitmix64 (wrap-64 multiplies via HUGEINT splitting),
+    signed min per (doc, k), band bucketing on the comma-joined value
+    string, hot-bucket cap, candidate self-join, and the signature-agreement
+    Jaccard estimate. Grams are DISTINCT here (min() is duplicate-
+    insensitive, so values are identical to the kernel's non-distinct path).
+    """
+    rpb = num_hashes // bands
+    offs = ", ".join(
+        f"({k}, CAST({splitmix_offset(seed * 1_000_003 + k)} AS UBIGINT))"
+        for k in range(num_hashes)
+    )
+    return f"""
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM ({source_sql})
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+    FROM words WHERE len(w) >= {n}
+  )
+),
+gh AS (SELECT doc_id, {md5_u64_duckdb('gram')} AS g FROM grams),
+offs(k, off) AS (VALUES {offs}),
+remix AS (
+  SELECT doc_id, k, {splitmix64_duckdb_select('g', 'off')},
+         {u64_to_i64_duckdb('h', 'hs')}
+  FROM gh CROSS JOIN offs
+),
+sig AS (SELECT doc_id, k, min(hs) AS m FROM remix GROUP BY doc_id, k),
+banded AS (
+  SELECT doc_id, k // {rpb} AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
+  FROM sig GROUP BY doc_id, k // {rpb}
+),
+ok_buckets AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket_size}
+),
+capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_eq AS DOUBLE) / {num_hashes}, 6) AS est_jaccard
+FROM agree
+WHERE round(CAST(n_eq AS DOUBLE) / {num_hashes}, 6) >= {threshold}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -311,7 +424,8 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
 # --------------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+                       id_col: str = "doc_id", seed: int = 0,
+                       portable: bool = False) -> DataFrame:
     """(doc_id, simhash long): sign-sum of token-hash bit columns.
 
     Scale posture: no raw-token shuffle — explode preserves the scan's
@@ -324,13 +438,19 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     histograms, and a (256 x 8) bit-table matmul expands them to per-bit
     ones-counts; sign-sum = 2*ones - group_size. Measures ~50x faster than
     sort+unpackbits+reduceat and ~350x faster than 2D ``np.add.at`` at 5M
-    tokens (all value-identical)."""
+    tokens (all value-identical).
+
+    ``portable=True`` swaps the JVM token hash from xxhash64 to md5-u64 so
+    :func:`simhash_near_dup_pairs_sql` can pin the whole pipeline (splitmix
+    remix, byte-histogram bit counting, sign-sum pack, chunk LSH) against a
+    DuckDB oracle; the numpy kernel is identical on both paths."""
+    tok_hash = md5_u64_spark(F.col("tok")) if portable else F.xxhash64("tok")
     words = _ensure_parallelism(docs).select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
         ).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("th"))
+    ).select("doc_id", tok_hash.alias("th"))
 
     byte_bits = np.unpackbits(
         np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
@@ -372,7 +492,8 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
                            seed: int = 0,
                            max_bucket_size: int = 100_000,
-                           persist: bool = True) -> DataFrame:
+                           persist: bool = True,
+                           portable: bool = False) -> DataFrame:
     """Near-dup pairs by hamming distance on simhash, LSH-bucketed on 16-bit
     chunks (a pair within hamming<=3 shares at least one of 4 chunks).
 
@@ -381,9 +502,11 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
     ``persist`` caches the per-doc signature table across its 3 consumers
     (both join sides + the hot-bucket count); see minhash_dedup_pairs for
     the lifetime note."""
-    sigs = simhash_signatures(docs, text_col, id_col, seed)
+    sigs = simhash_signatures(docs, text_col, id_col, seed, portable=portable)
+    persisted = []
     if persist:
         sigs = sigs.persist()
+        persisted.append(sigs)
     chunks = sigs.select(
         "doc_id", "simhash",
         F.explode(
@@ -415,9 +538,71 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).where(
+    out = cand.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+    return _attach_persisted(out, persisted)
+
+
+def simhash_near_dup_pairs_sql(max_hamming: int = 3, seed: int = 0,
+                               max_bucket_size: int = 100_000,
+                               source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of ``simhash_near_dup_pairs(..., portable=True)``.
+
+    Pure-SQL re-derivation of every step: md5-u64 token hash, splitmix64
+    remix, per-bit sign-sums over token MULTISETS (duplicates count), the
+    64-bit pack with bit 63 as the sign bit, 16-bit chunk LSH with the
+    hot-bucket cap, candidate join, and exact hamming filter.
+    """
+    off = splitmix_offset(seed)
+    bit_sums = ", ".join(
+        f"sum(CAST((h >> {i}) & 1 AS BIGINT)) AS b{i}" for i in range(64)
+    )
+    # pack via HUGEINT so the +/- 2^63 term can't trip overflow checks
+    pack_terms = " + ".join(
+        f"(CASE WHEN 2*b{i} - n > 0 THEN CAST({2**i} AS HUGEINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    pack = (
+        f"CAST({pack_terms}"
+        f" - (CASE WHEN 2*b63 - n > 0 THEN CAST({2**63} AS HUGEINT) ELSE 0 END)"
+        f" AS BIGINT)"
+    )
+    uns = ("CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT)"
+           " + 18446744073709551616 ELSE CAST(simhash AS HUGEINT) END")
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM ({source_sql})
+),
+th0 AS (SELECT doc_id, {md5_u64_duckdb('tok')} AS g FROM toks),
+th AS (
+  SELECT doc_id, {splitmix64_duckdb_select('g', f'CAST({off} AS UBIGINT)')}
+  FROM th0
+),
+bits AS (SELECT doc_id, count(*) AS n, {bit_sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {pack} AS simhash FROM bits),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         CAST(({uns} // p) % 65536 AS BIGINT) AS val
+  FROM sig CROSS JOIN (VALUES (0, 1), (1, 65536), (2, 4294967296),
+                              (3, 281474976710656)) cp(c, p)
+),
+ok_buckets AS (
+  SELECT c, val FROM chunks GROUP BY c, val
+  HAVING count(*) <= {max_bucket_size}
+),
+capped AS (SELECT chunks.* FROM chunks JOIN ok_buckets USING (c, val)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM capped a JOIN capped b
+    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -506,8 +691,10 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         norm.alias("nrm"),
         band_keys(F.col(vec_col)).alias("bks"),
     )
+    persisted = []
     if persist:
         base = base.persist()
+        persisted.append(base)
     e = base.select(
         "vid", "v", "nrm", F.posexplode("bks").alias("band", "bucket")
     )
@@ -519,7 +706,7 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -534,3 +721,4 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         .distinct()
         .where(F.col("cosine") >= threshold)
     )
+    return _attach_persisted(out, persisted)

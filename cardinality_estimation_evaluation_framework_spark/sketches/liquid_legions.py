@@ -203,8 +203,19 @@ class VennEstimator:
     sketches. (Sampler's prior expansion is steeper, O(2^(2^k)); it caps
     itself at k=3.)"""
 
+    MAX_K = 8  # 2^k x 2^k transition + (2^k-1)^2 subset solve: k=8 is a
+    # 256x256 / 255x255 system (instant); beyond that the O(4^k) matrices
+    # and the estimate's variance both blow up — fail fast with a clear
+    # error instead of grinding (accuracy is pinned in tests up to k=5).
+
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State]):
         assert len(states) >= 1, "need at least one sketch"
+        if len(states) > self.MAX_K:
+            raise ValueError(
+                f"VennEstimator supports k <= {self.MAX_K} sketches (got "
+                f"{len(states)}): the subset-lattice solve is O(4^k) and "
+                "region variance grows with k; fold larger collections "
+                "with sequential_estimate instead")
         self.kernel = kernel
         self.states = states
         self.ps = [float(s["noise"][0]) for s in states]

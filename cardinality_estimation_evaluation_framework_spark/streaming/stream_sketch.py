@@ -126,7 +126,9 @@ class StreamingHeavyHitters(StreamingSketch):
         """[(item, est_count)] sorted by est DESC, item ASC."""
         cands: list[np.ndarray] = []
         for p in sorted(os.listdir(self.state_dir)):
-            if p.endswith(".npy"):
+            # mirror current_state()'s epoch_ prefix check so a stray .npy
+            # in the directory is never treated as a candidate array
+            if p.startswith("epoch_") and p.endswith(".npy"):
                 cands.append(np.load(os.path.join(self.state_dir, p)))
         if not cands:
             return []

@@ -123,6 +123,69 @@ def test_farmhash64_guava_anchor(spark):
         assert fh.hash64(b) == fp64(b), f"len={n}"
 
 
+# FarmHash32 golden vectors. No 32-bit farmhash implementation exists in
+# this sandbox's JVM jars or Python packages (Guava only carries the 64-bit
+# fingerprint), so unlike FARMHASH64_GOLD these were generated from the two
+# in-repo implementations AFTER they agreed (see
+# test_farmhash32_independent_reimplementation below); they freeze that
+# agreed behavior against future edits. External corroboration: farmhashmk's
+# Hash32 is the CityHash32 lineage and hash32(b"") == 0xDC56D17A, the
+# published CityHash32 empty-string value. The C-package test above pins
+# both against the real library whenever it is installed.
+FARMHASH32_GOLD = [
+    (b"", 0, 0xDC56D17A),
+    (b"a", 0, 0x3C973D4D),
+    (b"ab", 567, 0x1030B9E6),
+    (b"abc", 0, 0x2F635EC7),
+    (b"abcd", 0xDEADBEEF, 0xB665C54E),
+    (b"hello", 0, 0x79969366),
+    (b"hello, world", 567, 0xCFA4DB8D),
+    (b"0123456789abcdef", 0, 0x5D567AC9),
+    (b"the quick brown fox jumps", 0, 0x516C62F6),
+    (b"the quick brown fox jumps over the lazy dog", 567, 0xEFE681B1),
+    (bytes(range(200)), 123456789, 0xC396F521),
+    (b"\x80\xff\x7f\x00", 0, 0x05236AD6),
+]
+
+
+def test_farmhash32_golden_vectors():
+    from cardinality_estimation_evaluation_framework_spark import farmhash64 as fh
+
+    for s, seed, expect in FARMHASH32_GOLD:
+        assert fh.hash32_with_seed(s, seed) == expect, (s[:32], seed)
+    assert fh.hash32(b"") == 0xDC56D17A  # published CityHash32("") value
+
+
+def test_farmhash32_independent_reimplementation():
+    """Anchor the FarmHash32 port against a clean-room scalar
+    reimplementation (tests/farmhash32_independent.py) on every length
+    branch (0-4, 5-12, 13-24, the 24/25 seeded-composition boundary, and
+    multi-iteration >24 with all (n-1)%20 phases) x seeds x random bytes.
+
+    Rationale: the 64-bit port had a real len>64 transcription bug that
+    self-consistency could never see — it took an external implementation
+    to catch it (test_farmhash64_guava_anchor). No external 32-bit
+    implementation exists in this sandbox, so the strongest available
+    anchor is a second implementation written independently from the
+    published algorithm: a shared transcription slip across two
+    separately-written derivations is far less likely than in one."""
+    import random
+
+    import farmhash32_independent as ind
+
+    from cardinality_estimation_evaluation_framework_spark import farmhash64 as fh
+
+    rng = random.Random(1234)
+    lens = list(range(0, 90)) + [99, 100, 101, 119, 120, 121, 199, 200, 1000]
+    for n in lens:
+        for _ in range(3):
+            b = bytes(rng.randrange(256) for _ in range(n))
+            seed = rng.choice([0, 1, 567, 0xDEADBEEF, 0xFFFFFFFF])
+            assert fh.hash32(b) == ind.hash32(b), f"hash32 len={n}"
+            assert fh.hash32_with_seed(b, seed) == ind.hash32_with_seed(b, seed), \
+                f"hash32_with_seed len={n} seed={seed}"
+
+
 def test_pure_python_farmhash64_self_consistency():
     """Deterministic, seed-sensitive, all length paths covered (0-16, 17-32,
     33-64, >64) — runs regardless of the C library."""

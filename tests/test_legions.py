@@ -115,6 +115,51 @@ def test_venn_three_sketches():
     assert abs(union_est - 65_000) / 65_000 < 0.05
 
 
+def _exact_venn_regions(sets: list[np.ndarray]) -> dict[int, int]:
+    """True |region| for every nonempty membership bitmask."""
+    universe = np.unique(np.concatenate(sets))
+    mask = np.zeros(len(universe), dtype=np.int64)
+    for i, s in enumerate(sets):
+        mask += (1 << i) * np.isin(universe, s)
+    counts = np.bincount(mask, minlength=2 ** len(sets))
+    return {r: int(counts[r]) for r in range(1, 2 ** len(sets))}
+
+
+@pytest.mark.parametrize("kk", [4, 5])
+def test_venn_k4_k5_property(kk):
+    """k=4 and k=5 Möbius solves (the reference stops at k=2): every
+    region estimate tracks the exact region size of overlapping ranges,
+    and the implied union matches. Tolerances widen with k (variance of
+    the subset-union estimates compounds through the solve)."""
+    k = LiquidLegionsKernel(a=10.0, m=300_000, seed=21)
+    step = 12_000
+    # staircase of ranges, each shifted by step with 2*step overlap ->
+    # rich mix of empty and nonempty regions
+    sets = [
+        np.arange(i * step, i * step + 3 * step, dtype=np.int64)
+        for i in range(kk)
+    ]
+    sts = [k.update(k.empty(), s) for s in sets]
+    venn = VennEstimator(k, sts)()
+    truth = _exact_venn_regions(sets)
+    n_union = len(np.unique(np.concatenate(sets)))
+    tol_rel = 0.15 if kk == 4 else 0.2
+    tol_abs = 3_000 if kk == 4 else 4_500
+    for region, t in truth.items():
+        assert abs(venn[region] - t) <= max(tol_rel * t, tol_abs), (
+            kk, region, t, venn[region])
+    union_est = venn[1:].sum()
+    assert abs(union_est - n_union) / n_union < 0.06
+
+
+def test_venn_k_ceiling_clear_error():
+    k = LiquidLegionsKernel(a=10.0, m=1_000, seed=22)
+    sts = [k.update(k.empty(), np.arange(10, dtype=np.int64))
+           for _ in range(VennEstimator.MAX_K + 1)]
+    with pytest.raises(ValueError, match="k <= 8"):
+        VennEstimator(k, sts)
+
+
 def test_sampler_three_sketches_priors_posteriors_and_sample():
     """k=3 Sampler: the general prior expansion is a proper distribution,
     agrees with the k=2 closed form when forced onto 2 sketches, and

@@ -133,6 +133,64 @@ def test_simhash_near_dups(spark):
     assert any({p["doc_a"], p["doc_b"]} == {"1", "2"} for p in pairs)
 
 
+def test_portable_minhash_matches_duckdb_twin(docs_small):
+    """The portable-hash pipeline must match its DuckDB SQL twin
+    VALUE-EXACTLY — this pins the numpy splitmix64/min-scatter kernel,
+    banding, hot-cap and verification against an independent engine
+    (the correctness-gate rows minhash_dedup/simhash_near_dup run the
+    same comparison at sf0.01; this keeps it in the suite)."""
+    import duckdb
+
+    spark = docs_small.sparkSession
+    docs = docs_small.limit(40).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    copies = docs.limit(6).select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    both = docs.union(copies)
+    pdf = both.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    spark_mh = (
+        dedup.minhash_dedup_pairs(
+            both, threshold=0.4, num_hashes=32, bands=8, portable=True,
+            persist=False,
+        )
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    duck_mh = (
+        con.sql(dedup.minhash_dedup_pairs_sql(threshold=0.4, num_hashes=32, bands=8))
+        .df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(spark_mh) > 0
+    assert spark_mh[["doc_a", "doc_b"]].values.tolist() == duck_mh[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(spark_mh["est_jaccard"], duck_mh["est_jaccard"], atol=0)
+
+    spark_sh = (
+        dedup.simhash_near_dup_pairs(both, max_hamming=12, portable=True,
+                                     persist=False)
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    duck_sh = (
+        con.sql(dedup.simhash_near_dup_pairs_sql(max_hamming=12))
+        .df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(spark_sh) > 0
+    assert spark_sh.values.tolist() == duck_sh.values.tolist()
+
+
+def test_unpersist_intermediates_releases_cache(docs_small):
+    pairs = dedup.minhash_dedup_pairs(
+        docs_small.limit(10), threshold=0.9, num_hashes=16, bands=4
+    )
+    pairs.count()
+    assert dedup.unpersist_intermediates(pairs) == 1
+    assert dedup.unpersist_intermediates(pairs) == 0  # idempotent
+
+
 def test_simhash_partition_invariance(spark):
     t = " ".join(f"tok{i % 37}" for i in range(500))
     df1 = spark.createDataFrame([("1", t)], "doc_id string, text string").repartition(1)

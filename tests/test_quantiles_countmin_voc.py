@@ -216,3 +216,38 @@ def test_grouped_quantile_sketches(spark):
                                    k, ["grp"], qs).collect()}
     for key in out_d:
         assert out_s[key] == pytest.approx(out_d[key], rel=1e-9), key
+
+
+def test_quantile_kernels_drop_nulls(spark):
+    """Null items must be DROPPED before a float64 kernel, not zero-filled:
+    a zero-filled Arrow transfer would drag low quantiles toward 0. Both
+    the ungrouped (items_column) and grouped (grouped_sketch_partials)
+    projections are checked against an all-positive distribution."""
+    from pyspark.sql import functions as F
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        aggregate as agg,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.kll import (
+        KllKernel,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        # half the rows null; non-null values uniform in [1000, 2000)
+        F.when(F.col("id") % 2 == 0, F.col("id") % 1000 + 1000.0).alias("x"),
+    )
+    kernel = KllKernel(k=200, seed=5)
+
+    state = agg.sketch(df, kernel, col="x")
+    q10 = kernel.quantile(state, [0.1])[0]
+    # with zero-fill, half the mass sits at 0.0 and q10 would be 0
+    assert q10 >= 1000.0
+
+    sk = agg.grouped_sketch(df, kernel, ["grp"], "x")
+    rows = agg.grouped_quantiles(sk, kernel, ["grp"], [0.1]).collect()
+    by_grp = {r["grp"]: r["value"] for r in rows}
+    assert by_grp["0"] >= 1000.0
+    # the all-null group emits no partial -> no row, matching SQL quantile
+    assert "1" not in by_grp
