@@ -88,10 +88,12 @@ def timed(fn):
 def timed_best2(fn):
     """Best of 2 back-to-back runs — this sandbox shows transient multi-
     second stalls unrelated to the engine; a single cold sample regularly
-    reads 5-10x the steady-state cost."""
+    reads 5-10x the steady-state cost. Returns (best, [s1, s2], out);
+    both raw samples are reported in the JSON ("samples") so readers can
+    see intra-run spread instead of trusting a single min."""
     s1, out = timed(fn)
     s2, out = timed(fn)
-    return min(s1, s2), out
+    return min(s1, s2), [round(s1, 3), round(s2, 3)], out
 
 
 def main() -> None:
@@ -106,6 +108,7 @@ def main() -> None:
 
     n_tokens = SYNTH_DOCS * TOKENS_PER_DOC
     queries: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     # flagship: one-scan suite build (HLL + count-min + exp ADBF) over the
     # pre-tokenized table, token arrays consumed directly (no explode).
@@ -115,6 +118,7 @@ def main() -> None:
     sec2, state = timed(lambda: agg.sketch_tokens(docs_tbl, suite))
     sec = min(sec1, sec2)
     queries["suite_build_synth"] = sec
+    samples["suite_build_synth"] = [round(sec1, 3), round(sec2, 3)]
     tokens_per_sec = n_tokens / sec if sec > 0 else 0.0
     hll_est = HllKernel(p=14, seed=42).estimate(suite.child(state, "hll"))[0]
 
@@ -130,6 +134,7 @@ def main() -> None:
         synth_items, p=14, seed=42).count())
     sec_sql = min(sec1, sec2)
     queries["hll_build_sql_synth"] = sec_sql
+    samples["hll_build_sql_synth"] = [round(sec1, 3), round(sec2, 3)]
     tokens_per_sec_sql = n_tokens / sec_sql if sec_sql > 0 else 0.0
     hll_sql_est = sql_sketch.hll_estimate_sql(synth_items, p=14, seed=42)
 
@@ -143,6 +148,7 @@ def main() -> None:
         "tokens_per_sec_hll_sql": round(tokens_per_sec_sql),
         "hll_estimate": round(hll_est),
         "hll_estimate_sql": round(hll_sql_est),
+        "samples": samples,
     }
 
     if not args.scaling:
@@ -152,51 +158,60 @@ def main() -> None:
         tok_items = agg.explode_tokens(tk.tokenize_hashed(docs)).cache()
         tok_items.count()
 
-        sec, _ = timed_best2(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
+        sec, ss, _ = timed_best2(lambda: agg.sketch(tok_items, HllKernel(p=12, seed=7)))
         queries["hll_build_docs"] = sec
+        samples["hll_build_docs"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: sql_sketch.hll_registers_sql(tok_items, p=12, seed=7).count()
         )
         queries["hll_build_sql_docs"] = sec
+        samples["hll_build_sql_docs"] = ss
 
         tok_src = tk.tokenize_hashed(docs).select(
             "source", F.explode("tokens").alias("t")
         ).select("source", F.col("t").cast("long").alias("item"))
         k12 = HllKernel(p=12, seed=7)
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: agg.grouped_estimate(
                 agg.grouped_sketch(tok_src, k12, ["source"], "item"), k12, ["source"]
             ).collect()
         )
         queries["hll_by_source"] = sec
+        samples["hll_by_source"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: sql_sketch.hll_estimates_by_key_sql(
                 tok_src, ["source"], p=12, seed=7).collect()
         )
         queries["hll_by_source_sql"] = sec
+        samples["hll_by_source_sql"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: agg.sketch_tokens(docs_tbl, CountMinKernel(width=4096, depth=4, seed=1))
         )
         queries["countmin_build_synth"] = sec
+        samples["countmin_build_synth"] = ss
 
-        sec, _ = timed_best2(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))
+        sec, ss, _ = timed_best2(lambda: agg.sketch(li, KllKernel(k=200, seed=3), col="l_extendedprice"))
         queries["kll_lineitem"] = sec
+        samples["kll_lineitem"] = ss
 
-        sec, _ = timed_best2(lambda: agg.sketch(li, TDigestKernel(delta=200), col="l_extendedprice"))
+        sec, ss, _ = timed_best2(lambda: agg.sketch(li, TDigestKernel(delta=200), col="l_extendedprice"))
         queries["tdigest_lineitem"] = sec
+        samples["tdigest_lineitem"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: tok_src.groupBy("source").agg(F.countDistinct("item")).collect()
         )
         queries["exact_reach_by_source"] = sec
+        samples["exact_reach_by_source"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: tok_items.groupBy("item").count().groupBy("count").count().collect()
         )
         queries["token_freq_hist"] = sec
+        samples["token_freq_hist"] = ss
 
         def run_minhash():
             # persist=True is the production posture (sig table reused by
@@ -211,25 +226,29 @@ def main() -> None:
             dedup_ops.unpersist_intermediates(pairs, blocking=True)
             return n
 
-        sec, _ = timed_best2(run_minhash)
+        sec, ss, _ = timed_best2(run_minhash)
         queries["minhash_dedup_docs"] = sec
+        samples["minhash_dedup_docs"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: dedup_ops.simhash_signatures(
                 docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
             ).count()
         )
         queries["simhash_sigs_docs"] = sec
+        samples["simhash_sigs_docs"] = ss
 
         q = [float(x) for x in emb.select("embedding").first()[0]]
-        sec, _ = timed_best2(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
+        sec, ss, _ = timed_best2(lambda: sim_ops.brute_force_topk(emb, q, k=10).collect())
         queries["cosine_topk"] = sec
+        samples["cosine_topk"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: frequency_ops.heavy_hitters_exact(
                 tok_items.select(F.col("item")), k=20).collect()
         )
         queries["heavy_hitters_exact"] = sec
+        samples["heavy_hitters_exact"] = ss
 
         def run_emb_lsh():
             pairs = dedup_ops.embedding_near_dup_pairs_lsh(emb, threshold=0.9)
@@ -237,13 +256,15 @@ def main() -> None:
             dedup_ops.unpersist_intermediates(pairs, blocking=True)
             return n
 
-        sec, _ = timed_best2(run_emb_lsh)
+        sec, ss, _ = timed_best2(run_emb_lsh)
         queries["embedding_near_dup_lsh"] = sec
+        samples["embedding_near_dup_lsh"] = ss
 
-        sec, _ = timed_best2(
+        sec, ss, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )
         queries["native_approx_distinct"] = sec
+        samples["native_approx_distinct"] = ss
 
     payload["queries"] = {k_: round(v, 3) for k_, v in queries.items()}
     payload["value"] = round(sum(queries.values()), 3)

@@ -79,30 +79,53 @@ def pil_or_none():
 
 
 def decode_image_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
-    """REAL image decode via PIL (activates automatically when the cluster
-    image ships it): decode -> grayscale -> resize to a feature_dim x
-    feature_dim grid -> row means as the feature vector. Deterministic for
-    a given payload; pinned by the skipif-gated test in
-    tests/test_io_and_misc.py."""
-    import io
+    """REAL image decode: decode -> grayscale -> resize to a feature_dim x
+    feature_dim grid -> row means as the feature vector.
 
-    img = pil_or_none().open(io.BytesIO(payload)).convert("L")
-    grid = np.asarray(
-        img.resize((feature_dim, feature_dim)), dtype=np.float64
+    Two real decoders, in preference order:
+    - PIL when importable (all formats; bicubic resize), or
+    - the pure-stdlib PNG codec (functions/png_codec.py: zlib inflate +
+      scanline unfilter per the PNG spec) for PNG payloads — so the real
+      path runs even on codec-less images. Deterministic either way;
+      pinned by golden-fixture tests in tests/test_io_and_misc.py (the
+      stdlib path runs everywhere; the PIL path is skipif-gated).
+    """
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        png_codec,
     )
+
+    pil = pil_or_none()
+    if pil is not None:
+        import io
+
+        img = pil.open(io.BytesIO(payload)).convert("L")
+        grid = np.asarray(
+            img.resize((feature_dim, feature_dim)), dtype=np.float64
+        )
+        return grid.mean(axis=1).astype(np.float32)
+    arr = png_codec.png_decode(payload)  # ValueError on non-PNG
+    gray = png_codec.to_grayscale(arr)
+    grid = png_codec.block_mean_resize(gray, feature_dim, feature_dim)
     return grid.mean(axis=1).astype(np.float32)
 
 
 def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16) -> np.ndarray:
     """Decode + feature-extract one payload.
 
-    With ``fake=False``, image payloads go through the REAL decoder when
-    PIL is importable (decode_image_real); otherwise this raises the
-    documented seam error — swap in a real decoder on a cluster image that
-    ships the codec libs (audio/video stay stubbed: no libav here).
+    With ``fake=False``, image payloads go through the REAL decoder:
+    PIL when importable, else the pure-stdlib PNG codec for PNG payloads
+    (decode_image_real). Non-PNG images without PIL and all audio/video
+    raise the documented seam error — swap a real decoder in on a cluster
+    image that ships the codec libs (no libav here).
     """
     if not fake:
-        if modality == "image" and pil_or_none() is not None:
+        from cardinality_estimation_evaluation_framework_spark.functions import (
+            png_codec,
+        )
+
+        if modality == "image" and (
+            pil_or_none() is not None or png_codec.is_png(payload)
+        ):
             return decode_image_real(payload, feature_dim)
         raise NotImplementedError(
             f"no {modality} codec libraries in this environment; "

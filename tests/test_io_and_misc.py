@@ -264,6 +264,117 @@ def test_real_image_decode_when_pil_present(spark):
     assert [pytest.approx(x, abs=1e-6) for x in direct.tolist()] == out["m1"]["features"]
 
 
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encoder->decoder roundtrip for every
+    supported channel count, plus decode of streams forward-filtered with
+    Sub/Up/Average/Paeth built independently in this test (the encoder
+    only emits filter 0, so these pin the other four unfilter paths)."""
+    import struct
+    import zlib
+
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        png_codec as pc,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        back = pc.png_decode(pc.png_encode(img))
+        np.testing.assert_array_equal(back, img)
+
+    # hand-build a PNG whose scanlines use filters 1..4 (forward filter
+    # computed here, independent of the decoder's inverse)
+    h, w, ch = 5, 7, 3
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = img.reshape(h, w * ch).astype(np.int16)
+    lines = []
+    filters = [0, 1, 2, 3, 4]
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        prior = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int16)
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), cur[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, dtype=np.int16), prior[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            enc = cur - (left + prior) // 2
+        else:
+            p = left + prior - up_left
+            pa, pb, pcc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pcc), left,
+                            np.where(pb <= pcc, prior, up_left))
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    payload = (pc.PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(pc.png_decode(payload), img)
+
+    with pytest.raises(ValueError, match="magic"):
+        pc.png_decode(b"not a png at all")
+    # 16-bit depth is an unsupported variant, not a crash
+    bad = (pc.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        pc.png_decode(bad)
+
+
+def test_real_image_decode_stdlib_png(spark):
+    """The REAL decode path runs end-to-end WITHOUT PIL: PNG payloads go
+    through the stdlib codec inside the mapInPandas plumbing. Golden
+    feature values pin the luma + block-mean-resize semantics."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        png_codec as pc,
+    )
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        multimodal,
+    )
+
+    def gradient_png(shade: int) -> bytes:
+        y, x = np.mgrid[0:32, 0:32]
+        img = np.stack([
+            (x * 8 + shade) % 256, (y * 8) % 256, np.full_like(x, shade),
+        ], axis=2).astype(np.uint8)
+        return pc.png_encode(img)
+
+    rows = [
+        ("m1", "image", gradient_png(10), 32, 32, None, "png"),
+        ("m2", "image", gradient_png(200), 32, 32, None, "png"),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, fake=False, feature_dim=8).collect()
+    }
+    assert set(out) == {"m1", "m2"}
+    for r in out.values():
+        assert len(r["features"]) == 8
+    assert out["m1"]["features"] != out["m2"]["features"]
+    # executor decode == driver decode (deterministic)
+    direct = multimodal.decode_image_real(rows[0][2], feature_dim=8)
+    assert [pytest.approx(x, abs=1e-6) for x in direct.tolist()] == out["m1"]["features"]
+    if multimodal.pil_or_none() is None:
+        # golden pin of the stdlib path (luma of the gradient is constant
+        # per row-mean across the resize: verify against a local recompute)
+        arr = pc.png_decode(rows[0][2])
+        grid = pc.block_mean_resize(pc.to_grayscale(arr), 8, 8)
+        np.testing.assert_allclose(
+            direct, grid.mean(axis=1).astype(np.float32), atol=1e-6)
+
+
 def test_read_table_format_prefixes(spark, tmp_path):
     from cardinality_estimation_evaluation_framework_spark.sources.io import (
         read_table,
