@@ -65,51 +65,53 @@ def token_counts_sql(text_col: str = "text") -> dict[str, str]:
 
 
 def _lang_scores(t: Column) -> dict[str, Column]:
+    """One regexp_count per language (alternation of its marker words) —
+    a single regex pass over the text per language, not one per word.
+    Equal to the per-word sum: marker words are distinct, so alternation
+    matches partition exactly into per-word matches."""
     lowered = F.lower(t)
     return {
-        lang: sum(
-            _count_regex(lowered, rf"\b{w}\b") for w in words
-        )
+        lang: F.regexp_count(lowered, F.lit(rf"\b({'|'.join(words)})\b"))
         for lang, words in LANG_MARKERS.items()
     }
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-ratio language ID with deterministic tie-break (greatest
-    score wins; ties broken by language-name order via tuple compare)."""
+    """Stopword-ratio language ID with deterministic tie-break: greatest
+    score wins, ties broken by language-name (sorted) order.
+
+    Plan note (measured): argmax goes through array_position(arr,
+    array_max(arr)) so each language score appears ONCE in the expression
+    tree. The previous chained-CASE fold nested every earlier score inside
+    each later branch — expression size grew ~2^k and every copy re-ran
+    its regexes; at 4 languages that was ~30 extra regex passes per row
+    (65s vs <2s for the whole lang_id gate query at the 10x scale run).
+    """
     scores = _lang_scores(F.col(text_col))
     langs = sorted(LANG_MARKERS)
-    expr = None
-    # argmax via chained CASE in fixed language order: strictly-greater wins,
-    # so the FIRST language in sorted order wins ties — same logic in SQL twin
-    best_score = None
-    for lang in langs:
-        s = scores[lang]
-        if expr is None:
-            expr, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            expr = F.when(cond, F.lit(lang)).otherwise(expr)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn("lang_pred", expr)
+    arr = F.array(*[scores[lang] for lang in langs])
+    # array_position returns the FIRST index of the max -> sorted-order
+    # tie-break, matching lang_id_sql's first-equal-wins CASE chain
+    idx = F.array_position(arr, F.array_max(arr)).cast("int")
+    names = F.array(*[F.lit(lang) for lang in langs])
+    return df.withColumn("lang_pred", F.element_at(names, idx))
 
 
 def lang_id_sql(text_col: str = "text") -> str:
+    """DuckDB twin of with_lang_id: same per-language alternation counts,
+    greatest() + first-equal-wins CASE = array_position tie-break."""
     langs = sorted(LANG_MARKERS)
 
     def score(lang):
-        parts = [
-            _count_regex_sql(f"lower({text_col})", rf"\b{w}\b")
-            for w in LANG_MARKERS[lang]
-        ]
-        return "(" + " + ".join(parts) + ")"
+        alt = "|".join(LANG_MARKERS[lang])
+        return _count_regex_sql(f"lower({text_col})", rf"\b({alt})\b")
 
-    expr, best = f"'{langs[0]}'", score(langs[0])
-    for lang in langs[1:]:
-        s = score(lang)
-        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
-        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
-    return expr
+    scores = {lang: score(lang) for lang in langs}
+    gmax = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {gmax} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"(CASE {cases} ELSE '{langs[-1]}' END)"
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -119,7 +121,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
     n_punct = _count_regex(t, r"[^a-zA-Z0-9\s]")
-    stop_hits = sum(_count_regex(F.lower(t), rf"\b{w}\b") for w in LANG_MARKERS["en"])
+    stop_alt = "|".join(LANG_MARKERS["en"])
+    stop_hits = F.regexp_count(F.lower(t), F.lit(rf"\b({stop_alt})\b"))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
     score = (
@@ -135,9 +138,8 @@ def quality_score_sql(text_col: str = "text") -> str:
     n_chars = f"length({text_col})"
     n_words = f"len(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> ''))"
     n_punct = _count_regex_sql(text_col, r"[^a-zA-Z0-9\s]")
-    stop = " + ".join(
-        _count_regex_sql(f"lower({text_col})", rf"\b{w}\b") for w in LANG_MARKERS["en"]
-    )
+    stop_alt = "|".join(LANG_MARKERS["en"])
+    stop = _count_regex_sql(f"lower({text_col})", rf"\b({stop_alt})\b")
     return (
         "round("
         f"(CASE WHEN {n_chars} >= 50 AND {n_chars} <= 100000 THEN 0.25 ELSE 0.0 END)"
