@@ -114,11 +114,18 @@ def main() -> None:
     # pre-tokenized table, token arrays consumed directly (no explode).
     # best of 2: the sandbox shows transient minute-scale stalls.
     docs_tbl = synth_token_docs(spark, SYNTH_DOCS, SYNTH_PARTS)
+    # BENCH_BEST1=1 -> single rep per level (used by the scaling harness,
+    # whose >=5 interleaved paired ROUNDS already provide the robustness
+    # best-of-2 buys; halving per-round cost lets the 300M-token corpus fit)
+    best1 = os.environ.get("BENCH_BEST1", "0") == "1"
     sec1, state = timed(lambda: agg.sketch_tokens(docs_tbl, suite))
-    sec2, state = timed(lambda: agg.sketch_tokens(docs_tbl, suite))
-    sec = min(sec1, sec2)
+    if best1:
+        sec, reps_s = sec1, [round(sec1, 3)]
+    else:
+        sec2, state = timed(lambda: agg.sketch_tokens(docs_tbl, suite))
+        sec, reps_s = min(sec1, sec2), [round(sec1, 3), round(sec2, 3)]
     queries["suite_build_synth"] = sec
-    samples["suite_build_synth"] = [round(sec1, 3), round(sec2, 3)]
+    samples["suite_build_synth"] = reps_s
     tokens_per_sec = n_tokens / sec if sec > 0 else 0.0
     hll_est = HllKernel(p=14, seed=42).estimate(suite.child(state, "hll"))[0]
 
@@ -130,13 +137,21 @@ def main() -> None:
     synth_items = synth_token_items(spark, SYNTH_DOCS, SYNTH_PARTS)
     sec1, _ = timed(lambda: sql_sketch.hll_registers_sql(
         synth_items, p=14, seed=42).count())
-    sec2, _ = timed(lambda: sql_sketch.hll_registers_sql(
-        synth_items, p=14, seed=42).count())
-    sec_sql = min(sec1, sec2)
+    if best1:
+        sec_sql, reps_s = sec1, [round(sec1, 3)]
+    else:
+        sec2, _ = timed(lambda: sql_sketch.hll_registers_sql(
+            synth_items, p=14, seed=42).count())
+        sec_sql, reps_s = min(sec1, sec2), [round(sec1, 3), round(sec2, 3)]
     queries["hll_build_sql_synth"] = sec_sql
-    samples["hll_build_sql_synth"] = [round(sec1, 3), round(sec2, 3)]
+    samples["hll_build_sql_synth"] = reps_s
     tokens_per_sec_sql = n_tokens / sec_sql if sec_sql > 0 else 0.0
-    hll_sql_est = sql_sketch.hll_estimate_sql(synth_items, p=14, seed=42)
+    # accuracy cross-check costs one extra full pass; the scaling harness
+    # (BENCH_BEST1) skips it — the suite-state estimate above is free
+    hll_sql_est = (
+        hll_est if best1
+        else sql_sketch.hll_estimate_sql(synth_items, p=14, seed=42)
+    )
 
     payload = {
         "metric": "bench_total_sec",
