@@ -61,7 +61,7 @@ def cluster_phase(reps: int) -> dict | None:
     same minute window — if the engine's Arrow-path efficiency sits at or
     above the control, the residual is the machine's, not the engine's.
     Corpus default 3M docs = 300M tokens so executor/JVM spin-up is
-    amortized (<5%% of round wall time); BENCH_BEST1 keeps rounds
+    amortized (<5% of round wall time); BENCH_BEST1 keeps rounds
     affordable (>=5 interleaved paired rounds replace per-run best-of-2).
     """
     docs = os.environ.get("BENCH_SCALING_CLUSTER_DOCS", "3000000")
@@ -134,14 +134,12 @@ pure-Catalyst HLL build's executor-scaling efficiency —
     ) + f"""
 
 **Control median = {cluster['control_sql_eff_median']:.3f}** — the box's
-multi-JVM scaling ceiling measured in the same minute windows. The engine
-medians {"at or above" if cluster['efficiency_median'] >= cluster['control_sql_eff_median'] - 0.05 else "below"}
-the control, i.e. the distance from 1.0 is the shared machine's, not the
-engine's. The peak 4-executor sample
-({max(cluster['executors_4x4_tokens_per_sec']):,} tokens/s) exceeds the
-measured single-JVM Arrow JVM->Python transfer ceiling (~6.5M rows/s):
-each executor owns an independent Python worker pool, so per-executor
-Arrow throughput adds rather than saturating one JVM's pipe.
+pure-JVM multi-JVM scaling ceiling measured in the same minute windows;
+engine rounds below it indicate additional pressure from the doubled
+process count (executor JVMs + one Python worker per core), rounds at or
+above it indicate the gap is entirely the machine's. Peak 4-executor
+sample: {max(cluster['executors_4x4_tokens_per_sec']):,} tokens/s
+(single-JVM Arrow JVM->Python transfer ceiling on this box: ~6.5M/s).
 
 """
 

@@ -50,16 +50,19 @@ def png_decode(payload: bytes) -> np.ndarray:
     if not is_png(payload):
         raise ValueError("not a PNG payload (bad magic)")
     pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
+    try:
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+    except (struct.error, zlib.error) as e:  # corrupt chunk framing
+        raise ValueError(f"corrupt PNG structure: {e}") from e
     if ihdr is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
     width, height, depth, color, comp, filt, interlace = ihdr
@@ -68,7 +71,10 @@ def png_decode(payload: bytes) -> np.ndarray:
             f"unsupported PNG variant (depth={depth} color={color} "
             f"interlace={interlace}); 8-bit non-interlaced G/GA/RGB/RGBA only")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")

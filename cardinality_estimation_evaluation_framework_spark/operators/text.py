@@ -31,12 +31,12 @@ BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def _count_regex(col: Column, pattern: str) -> Column:
-    """Occurrences of pattern — via length-difference (portable to engines
-    without regexp_count)."""
-    return (
-        F.length(F.regexp_replace(col, pattern, "\x01"))
-        - F.length(F.regexp_replace(col, pattern, ""))
-    )
+    """Occurrences of pattern — native regexp_count: ONE regex pass.
+
+    (The DuckDB twins keep the two-replace length-difference form —
+    :func:`_count_regex_sql` — because DuckDB 1.0 has no regexp_count;
+    values are identical, the oracle gate pins that.)"""
+    return F.regexp_count(col, F.lit(pattern))
 
 
 def _count_regex_sql(col: str, pattern: str) -> str:

@@ -178,6 +178,27 @@ def main() -> None:
     assert "Window" not in topk_tree[take_pos:], (
         "cosine top-k window runs over the full scored table again!")
 
+    # 11. language ID: each per-language regex appears ONCE in the plan.
+    # The old chained-CASE argmax nested every earlier score inside each
+    # later branch (~2^k expression copies, ~30 extra regex passes per row,
+    # measured 21x slower at the 10x corpus); the array_position form keeps
+    # exactly one regexp_count per language.
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        text as text_ops,
+    )
+
+    lang_plan = plan_of(text_ops.with_lang_id(docs))
+    sections.append((
+        "language ID (one regexp_count per language; no expression blowup)",
+        lang_plan,
+        ["Project"],
+    ))
+    n_regex = lang_plan.count("regexp_count")
+    n_langs = len(text_ops.LANG_MARKERS)
+    assert 0 < n_regex <= n_langs, (
+        f"lang_id plan holds {n_regex} regexp_count nodes for {n_langs} "
+        "languages — expression duplication is back!")
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:
