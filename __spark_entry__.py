@@ -348,6 +348,19 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=10, portable=True)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> (doc_id, rep) clusters —
+    the step that turns pair lists into an actually deduplicated corpus.
+    Spark: min-label propagation (dedup.connected_components); oracle:
+    DuckDB recursive-CTE transitive closure over the SAME portable
+    minhash pair pipeline."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16, portable=True
+    )
+    return dedup_ops.connected_components(pairs)
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -487,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
+        "dedup_clusters": q_dedup_clusters,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -646,6 +660,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_near_dup": dedup_ops.simhash_near_dup_pairs_sql(
             max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
+        ),
+        "dedup_clusters": dedup_ops.connected_components_sql(
+            dedup_ops.minhash_dedup_pairs_sql(
+                threshold=0.5, num_hashes=64, bands=16,
+                source_sql=_PLANTED_DOCS_SQL,
+            )
         ),
         "embedding_near_dup": """
 WITH ev AS (

@@ -722,3 +722,106 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
     )
     return _attach_persisted(out, persisted)
+
+
+# --------------------------------------------------------------------------
+# connected components: near-dup PAIRS -> dup CLUSTERS -> dedup'd corpus
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """(doc_id, rep): connected components over an undirected pair list,
+    rep = MIN member id per component — turns near-dup PAIRS (minhash /
+    simhash / embedding LSH output) into dup CLUSTERS so a corpus can keep
+    one representative per cluster.
+
+    Algorithm: minimum-label propagation. Each node starts labeled with
+    itself; every iteration each node takes the min of its own label and
+    its neighbors' labels (one groupBy-min over the edge-joined labels);
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (stars/cliques around a template), so typically 3-5 rounds.
+
+    Scale posture: per iteration, ONE equi-join (edges x labels, shuffle
+    keyed on node id — both sides hash-partitioned the same way, and AQE
+    broadcasts the label side while it is small) + one groupBy-min with
+    map-side combine. Edges are persisted across iterations; labels are
+    localCheckpoint()ed each round so the iterative lineage never deepens
+    (no exponential re-execution, no stack-overflow plans — the same
+    pattern GraphX uses). Convergence is detected with a count of changed
+    labels (O(1) result per round). ``max_iter`` bounds pathological
+    chain-shaped graphs; hitting it raises rather than returning a
+    half-converged clustering.
+    """
+    e = (
+        pairs.select(F.col(src).cast("string").alias("a"),
+                     F.col(dst).cast("string").alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    # undirected: keep both orientations so one join propagates both ways
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        edges.select(F.col("a").alias("n")).distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges["b"] == labels["n"])
+            .select(F.col("a").alias("n"), "label")
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # cut iterative lineage each round
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "n")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological chain graph? raise max_iter)")
+    edges.unpersist()
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("rep"))
+
+
+def connected_components_sql(pairs_sql: str, src: str = "doc_a",
+                             dst: str = "doc_b") -> str:
+    """DuckDB oracle twin of :func:`connected_components`: transitive
+    closure by recursive CTE (min reachable id per node). ``pairs_sql`` is
+    any query producing the pair list (e.g. minhash_dedup_pairs_sql)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT CAST({src} AS VARCHAR) AS a, CAST({dst} AS VARCHAR) AS b FROM pairs
+  UNION
+  SELECT CAST({dst} AS VARCHAR), CAST({src} AS VARCHAR) FROM pairs
+),
+reach(n, r) AS (
+  SELECT a, a FROM (SELECT a FROM edges UNION SELECT b FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.n
+)
+SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n
+"""
+
+
+def dedup_keep_representatives(docs: DataFrame, clusters: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Drop every clustered doc except its representative (left-anti join
+    against the non-rep members — docs in no cluster pass through)."""
+    drop = clusters.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("doc_id").alias("_drop_id")
+    )
+    return docs.join(
+        drop, docs[id_col].cast("string") == drop["_drop_id"], "left_anti"
+    )

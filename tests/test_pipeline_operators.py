@@ -191,6 +191,67 @@ def test_unpersist_intermediates_releases_cache(docs_small):
     assert dedup.unpersist_intermediates(pairs) == 0  # idempotent
 
 
+def test_connected_components_known_graph(spark):
+    """Chain + star + isolated pair -> min-id reps; convergence needs
+    diameter rounds (chain of 4 exercises >1 iteration)."""
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"),          # chain, rep "1"
+         ("10", "11"), ("10", "12"), ("10", "13"),     # star, rep "10"
+         ("21", "20")],                                # pair, rep "20"
+        "doc_a string, doc_b string",
+    )
+    cc = {r["doc_id"]: r["rep"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {"1": "1", "2": "1", "3": "1", "4": "1",
+                  "10": "10", "11": "10", "12": "10", "13": "10",
+                  "20": "20", "21": "20"}
+
+
+def test_connected_components_matches_duckdb_closure(spark):
+    """Random graph: Spark label propagation == DuckDB recursive-CTE
+    transitive closure (engine-independent oracle)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(9)
+    edges = [(str(rng.randrange(300)), str(rng.randrange(300))) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in dedup.connected_components(pairs, max_iter=60).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("edge_input", pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    want = {
+        n: r for n, r in con.sql(
+            dedup.connected_components_sql("SELECT * FROM edge_input")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dedup_keep_representatives(docs_small):
+    spark = docs_small.sparkSession
+    docs = docs_small.limit(10).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    copies = docs.select(
+        F.concat(F.lit("dup_"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    both = docs.union(copies)
+    pairs = dedup.minhash_dedup_pairs(both, threshold=0.5, num_hashes=32,
+                                      bands=8, persist=False)
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.dedup_keep_representatives(both, clusters)
+    n_kept = kept.count()
+    n_clustered = clusters.count()
+    n_reps = clusters.select("rep").distinct().count()
+    # every cluster collapses to one kept doc
+    assert n_kept == both.count() - (n_clustered - n_reps)
+    assert n_kept < both.count()  # the planted dups actually collapsed
+
+
 def test_simhash_partition_invariance(spark):
     t = " ".join(f"tok{i % 37}" for i in range(500))
     df1 = spark.createDataFrame([("1", t)], "doc_id string, text string").repartition(1)

@@ -187,17 +187,26 @@ def main() -> None:
         text as text_ops,
     )
 
-    lang_plan = plan_of(text_ops.with_lang_id(docs))
+    lang_df = text_ops.with_lang_id(docs)
+    lang_plan = plan_of(lang_df)
     sections.append((
         "language ID (one regexp_count per language; no expression blowup)",
         lang_plan,
         ["Project"],
     ))
-    n_regex = lang_plan.count("regexp_count")
+    # formatted explain elides expression trees — count regex nodes in the
+    # OPTIMIZED LOGICAL plan string instead (full expressions printed).
+    # Catalyst rewrites regexp_count -> size(regexp_extract_all(..)), and
+    # the score array legitimately appears twice (array_position arg +
+    # array_max arg; identical subtrees, deduplicated at runtime by
+    # whole-stage-codegen subexpression elimination) -> cap at 2 per
+    # language. The broken chained-CASE form held ~2^k copies (30+).
+    opt = lang_df._jdf.queryExecution().optimizedPlan().toString()
+    n_regex = opt.count("regexp_extract_all") + opt.count("regexp_count")
     n_langs = len(text_ops.LANG_MARKERS)
-    assert 0 < n_regex <= n_langs, (
-        f"lang_id plan holds {n_regex} regexp_count nodes for {n_langs} "
-        "languages — expression duplication is back!")
+    assert 0 < n_regex <= 2 * n_langs, (
+        f"lang_id optimized plan holds {n_regex} regex nodes for "
+        f"{n_langs} languages — expression duplication is back!")
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
