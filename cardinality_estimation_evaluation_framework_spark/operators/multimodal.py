@@ -109,24 +109,41 @@ def decode_image_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
     return grid.mean(axis=1).astype(np.float32)
 
 
+def decode_audio_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
+    """REAL audio decode via the stdlib WAV codec: PCM samples -> mono ->
+    per-block RMS energy features. Deterministic; pinned by roundtrip +
+    end-to-end tests in tests/test_io_and_misc.py."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        wav_codec,
+    )
+
+    samples, _rate = wav_codec.wav_decode(payload)
+    return wav_codec.block_rms_features(samples, feature_dim)
+
+
 def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16) -> np.ndarray:
     """Decode + feature-extract one payload.
 
-    With ``fake=False``, image payloads go through the REAL decoder:
-    PIL when importable, else the pure-stdlib PNG codec for PNG payloads
-    (decode_image_real). Non-PNG images without PIL and all audio/video
-    raise the documented seam error — swap a real decoder in on a cluster
-    image that ships the codec libs (no libav here).
+    With ``fake=False``, image and audio payloads go through REAL
+    decoders: images via PIL when importable, else the pure-stdlib PNG
+    codec for PNG payloads (decode_image_real); audio via the stdlib WAV
+    codec for RIFF/PCM payloads (decode_audio_real). Non-PNG images
+    without PIL, compressed audio, and video raise the documented seam
+    error — swap a real decoder in on a cluster image that ships the
+    codec libs (no libav here).
     """
     if not fake:
         from cardinality_estimation_evaluation_framework_spark.functions import (
             png_codec,
+            wav_codec,
         )
 
         if modality == "image" and (
             pil_or_none() is not None or png_codec.is_png(payload)
         ):
             return decode_image_real(payload, feature_dim)
+        if modality == "audio" and wav_codec.is_wav(payload):
+            return decode_audio_real(payload, feature_dim)
         raise NotImplementedError(
             f"no {modality} codec libraries in this environment; "
             "pass fake=True or plug a real decoder here"
