@@ -265,6 +265,22 @@ def main() -> None:
         queries["heavy_hitters_exact"] = sec
         samples["heavy_hitters_exact"] = ss
 
+        def run_dedup_clusters():
+            # pairs -> connected components -> cluster table: the full
+            # near-dup CLUSTERING pipeline (eager: the CC loop runs its
+            # joins/checkpoints inside the call)
+            pairs = dedup_ops.minhash_dedup_pairs(
+                docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+                threshold=0.8, num_hashes=64, bands=16,
+            )
+            n = dedup_ops.connected_components(pairs).count()
+            dedup_ops.unpersist_intermediates(pairs, blocking=True)
+            return n
+
+        sec, ss, _ = timed_best2(run_dedup_clusters)
+        queries["dedup_clusters_docs"] = sec
+        samples["dedup_clusters_docs"] = ss
+
         def run_emb_lsh():
             pairs = dedup_ops.embedding_near_dup_pairs_lsh(emb, threshold=0.9)
             n = pairs.count()

@@ -45,10 +45,13 @@ def main() -> None:
     docs = dedup.dedup_exact(docs)
     n1 = docs.count()
 
-    # 2. near-dup removal: minhash LSH pairs -> drop the lexically-larger id
+    # 2. near-dup removal: minhash LSH pairs -> connected components ->
+    # keep ONE representative per dup cluster (pair-wise dropping would
+    # mis-handle transitive chains: a~b, b~c with a!~c)
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.85)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs = docs.join(drop, "doc_id", "left_anti")
+    clusters = dedup.connected_components(pairs)
+    docs = dedup.dedup_keep_representatives(docs, clusters)
+    dedup.unpersist_intermediates(pairs)
     n2 = docs.count()
 
     # 3. quality + language filters (pure Catalyst, codegen)
