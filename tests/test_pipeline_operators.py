@@ -232,6 +232,20 @@ def test_connected_components_matches_duckdb_closure(spark):
     assert got == want
 
 
+def test_connected_components_chain_log_rounds(spark):
+    """A 300-node CHAIN (worst case for plain propagation: diameter 299)
+    must converge in ~log2(n) rounds thanks to pointer jumping — plain
+    neighbor propagation would need 299 rounds and trip max_iter."""
+    edges = [(str(i), str(i + 1)) for i in range(299)]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    cc = dedup.connected_components(pairs, max_iter=20)
+    rows = cc.collect()
+    assert {r["rep"] for r in rows} == {"0"}  # one component, min-id rep
+    assert len(rows) == 300
+    # ~log2(300) + convergence-detection rounds (measured 14), not 299
+    assert cc._cc_rounds <= 16, cc._cc_rounds
+
+
 def test_dedup_keep_representatives(docs_small):
     spark = docs_small.sparkSession
     docs = docs_small.limit(10).select(
