@@ -817,10 +817,15 @@ def connected_components_sql(pairs_sql: str, src: str = "doc_a",
                              dst: str = "doc_b") -> str:
     """DuckDB oracle twin of :func:`connected_components`: transitive
     closure by recursive CTE (min reachable id per node). ``pairs_sql`` is
-    any query producing the pair list (e.g. minhash_dedup_pairs_sql)."""
+    any query producing the pair list (e.g. minhash_dedup_pairs_sql).
+
+    ``AS MATERIALIZED`` on pairs/edges is load-bearing: DuckDB inlines
+    plain CTEs, so without it the whole pair pipeline would be re-planned
+    inside the recursive step and re-executed per recursion depth
+    (observed: minutes instead of seconds on the 10x corpus)."""
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
   SELECT CAST({src} AS VARCHAR) AS a, CAST({dst} AS VARCHAR) AS b FROM pairs
   UNION
   SELECT CAST({dst} AS VARCHAR), CAST({src} AS VARCHAR) FROM pairs
