@@ -28,6 +28,7 @@ from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
     TDigestKernel,
 )
 from cardinality_estimation_evaluation_framework_spark.operators import (
+    decontam as decontam_ops,
     dedup as dedup_ops,
     similarity as sim_ops,
     text as text_ops,
@@ -361,6 +362,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components(pairs)
 
 
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (exact path): per-doc n-gram overlap
+    against a planted benchmark subset (doc_id %% 97 == 0), broadcast
+    join — value-exact DuckDB twin. The Bloom SCALE path is pinned
+    superset-and-FP-bounded in pytest (test_decontam_exact_and_bloom)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
+    return decontam_ops.ngram_overlap_exact(docs, bench, n=5)
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -501,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
+        "decontam_overlap": q_decontam_overlap,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -660,6 +674,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_near_dup": dedup_ops.simhash_near_dup_pairs_sql(
             max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
+        ),
+        "decontam_overlap": decontam_ops.ngram_overlap_exact_sql(
+            n=5,
+            source_sql="SELECT * FROM documents",
+            bench_sql="SELECT * FROM documents WHERE CAST(doc_id AS BIGINT) % 97 = 0",
         ),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(

@@ -1,0 +1,166 @@
+"""Benchmark decontamination: flag training documents whose word n-grams
+overlap a held-out evaluation/benchmark set (the GPT-3 / Pile style
+n-gram collision check).
+
+Two paths, same output schema (doc_id, n_grams, n_hits, contaminated):
+
+- ``ngram_overlap_exact``: distinct doc grams LEFT-JOIN the (broadcast)
+  benchmark gram set. Exact; the verification/oracle path with a DuckDB
+  twin (``ngram_overlap_exact_sql``). Fine whenever the benchmark set is
+  broadcastable — which it is by definition (eval sets are tiny next to
+  a 100 TB training corpus).
+- ``flag_contaminated_bloom``: the SCALE path. A Bloom filter of the
+  benchmark grams is built DISTRIBUTED (the engine's own BloomKernel
+  through the partial+tree-merge harness), packed to m/8 bytes, and
+  broadcast; each Arrow batch of training grams probes the bitset with
+  numpy bit ops — zero joins, zero shuffles of the corpus beyond the
+  per-doc counts. Guarantees: NO false negatives (the probe reuses the
+  kernel's exact hash→index computation), and overcount bounded by the
+  classic FP rate (1 - e^{-kn/m})^k — pinned in tests.
+
+Why not always exact: at 100 TB the corpus side has ~10^12 grams; the
+broadcast join stays fine, but probing a 4 MB bitset in-batch avoids
+materializing and shuffling per-gram join rows entirely — the whole
+check rides the scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.hashing import hash64
+from cardinality_estimation_evaluation_framework_spark.operators import (
+    aggregate as agg,
+)
+from cardinality_estimation_evaluation_framework_spark.operators.dedup import (
+    word_ngrams,
+)
+from cardinality_estimation_evaluation_framework_spark.sketches.bloom import (
+    BloomKernel,
+)
+
+OUT_SCHEMA = "doc_id string, n_grams long, n_hits long, contaminated boolean"
+
+
+def bloom_kernel(m: int = 1 << 22, k: int = 4, seed: int = 0) -> BloomKernel:
+    """The classic k-hash uniform Bloom filter as a BloomKernel — build
+    AND probe must use this same kernel so indexes match bit-for-bit."""
+    return BloomKernel(dist_kind="uniform", m=m, num_hashes=k, seed=seed)
+
+
+def build_benchmark_bloom(bench_docs: DataFrame, n: int = 8,
+                          kernel: BloomKernel | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> dict:
+    """Distributed Bloom build over the benchmark's distinct gram hashes
+    (mapInPandas partials + tree merge — the engine's standard harness).
+    Returns the merged kernel state."""
+    kernel = kernel or bloom_kernel()
+    grams = word_ngrams(bench_docs, n, text_col, id_col, distinct=True)
+    items = grams.select(F.xxhash64("gram").alias("item")).distinct()
+    return agg.sketch(items, kernel)
+
+
+def _pack_bits(state: dict, kernel: BloomKernel) -> np.ndarray:
+    regs = state["registers"]
+    return np.packbits(regs > 0, bitorder="little")
+
+
+def flag_contaminated_bloom(docs: DataFrame, bloom_state: dict,
+                            kernel: BloomKernel, n: int = 8,
+                            min_hits: int = 1,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated) — n_hits counts the doc's
+    DISTINCT grams whose k Bloom probes all hit; superset of the exact
+    overlap (no false negatives), overcount bounded by the FP rate."""
+    packed = _pack_bits(bloom_state, kernel)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(packed)
+    num_hashes, seed, m = kernel.num_hashes, kernel.seed, kernel.m
+    dist = kernel.dist
+
+    grams = word_ngrams(docs, n, text_col, id_col, distinct=True).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+
+    def probe(batches):
+        bits = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
+            gh = pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
+            member = np.ones(len(gh), dtype=bool)
+            for i in range(num_hashes):
+                idx = dist.indexes(hash64(gh, seed=seed * 1_000_003 + i)).astype(np.int64)
+                probe = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                member &= probe.astype(bool)
+            n_grams = np.bincount(codes, minlength=len(uniq))
+            n_hits = np.bincount(codes, weights=member, minlength=len(uniq))
+            yield pd.DataFrame({
+                "doc_id": uniq,
+                "n_grams": n_grams.astype(np.int64),
+                "n_hits": n_hits.astype(np.int64),
+            })
+
+    partial = grams.mapInPandas(probe, schema="doc_id string, n_grams long, n_hits long")
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.sum("n_grams").alias("n_grams"), F.sum("n_hits").alias("n_hits"))
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
+def ngram_overlap_exact(docs: DataFrame, bench_docs: DataFrame, n: int = 8,
+                        min_hits: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact variant: distinct doc grams left-joined against the
+    BROADCAST benchmark gram set — the oracle/verification path."""
+    doc_grams = word_ngrams(docs, n, text_col, id_col, distinct=True)
+    bench_grams = (
+        word_ngrams(bench_docs, n, text_col, id_col, distinct=True)
+        .select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
+def ngram_overlap_exact_sql(n: int = 8, min_hits: int = 1,
+                            source_sql: str = "SELECT * FROM documents",
+                            bench_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`ngram_overlap_exact`."""
+
+    def grams_cte(src):
+        return f"""
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+    FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM ({src})
+    ) WHERE len(w) >= {n}
+  )"""
+
+    return f"""
+WITH doc_grams AS MATERIALIZED ({grams_cte(source_sql)}),
+bench_grams AS MATERIALIZED (SELECT DISTINCT gram FROM ({grams_cte(bench_sql)}))
+SELECT d.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= {min_hits}
+         AS contaminated
+FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
+GROUP BY d.doc_id
+"""

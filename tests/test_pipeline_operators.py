@@ -390,3 +390,75 @@ def test_heavy_hitters_exact_and_countmin(spark):
     for r in top:
         assert r["item"] in hh
         assert hh[r["item"]] >= r["cnt"]  # CM never undercounts
+
+
+# ---------------- decontamination ----------------
+
+def test_decontam_exact_and_bloom(docs_small):
+    """Exact overlap vs Bloom scale path: bloom is a superset (no false
+    negatives), and with a roomy filter (FP ~ 1e-5) the two agree exactly
+    on this corpus; planted benchmark docs flag as fully contaminated."""
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        decontam,
+    )
+
+    docs = docs_small.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    bench = docs.where(F.col("doc_id").cast("long") % 7 == 0)
+
+    n = 5
+    exact = {
+        r["doc_id"]: r
+        for r in decontam.ngram_overlap_exact(docs, bench, n=n).collect()
+    }
+    kernel = decontam.bloom_kernel(m=1 << 22, k=4, seed=3)
+    state = decontam.build_benchmark_bloom(bench, n=n, kernel=kernel)
+    bloom = {
+        r["doc_id"]: r
+        for r in decontam.flag_contaminated_bloom(
+            docs, state, kernel, n=n).collect()
+    }
+    assert set(exact) == set(bloom)
+    fp_extra = 0
+    for d, er in exact.items():
+        br = bloom[d]
+        assert br["n_grams"] == er["n_grams"], d
+        assert br["n_hits"] >= er["n_hits"], d       # no false negatives
+        fp_extra += br["n_hits"] - er["n_hits"]
+    total_grams = sum(r["n_grams"] for r in exact.values())
+    # classic FP bound (1 - e^{-kn/m})^k with wide slack for variance
+    import math
+    n_bench = int(
+        decontam.word_ngrams(bench, n).select("gram").distinct().count())
+    fp_rate = (1 - math.exp(-4 * n_bench / float(1 << 22))) ** 4
+    assert fp_extra <= max(5, 20 * fp_rate * total_grams), (fp_extra, fp_rate)
+    # benchmark members are 100% contaminated against themselves
+    for d, er in exact.items():
+        if int(d) % 7 == 0:
+            assert er["n_hits"] == er["n_grams"] and er["contaminated"], d
+
+
+def test_decontam_exact_matches_duckdb(docs_small):
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        decontam,
+    )
+
+    docs = docs_small.limit(60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    bench = docs.where(F.col("doc_id").cast("long") % 5 == 0)
+    got = (
+        decontam.ngram_overlap_exact(docs, bench, n=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.sql(decontam.ngram_overlap_exact_sql(
+        n=4,
+        source_sql="SELECT * FROM documents",
+        bench_sql="SELECT * FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0",
+    )).df().sort_values("doc_id").reset_index(drop=True)
+    assert got[["doc_id", "n_grams", "n_hits"]].values.tolist() == \
+        want[["doc_id", "n_grams", "n_hits"]].values.tolist()
+    assert got["contaminated"].tolist() == want["contaminated"].tolist()
