@@ -291,6 +291,23 @@ def main() -> None:
         queries["embedding_near_dup_lsh"] = sec
         samples["embedding_near_dup_lsh"] = ss
 
+        def run_decontam_bloom():
+            # distributed bloom build over the benchmark subset + packed
+            # broadcast probe of the full corpus (the scale path)
+            from cardinality_estimation_evaluation_framework_spark.operators import (
+                decontam,
+            )
+
+            d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            bench_docs = d.where(F.col("doc_id").cast("long") % 97 == 0)
+            kernel = decontam.bloom_kernel(m=1 << 22, k=4, seed=3)
+            state = decontam.build_benchmark_bloom(bench_docs, n=5, kernel=kernel)
+            return decontam.flag_contaminated_bloom(d, state, kernel, n=5).count()
+
+        sec, ss, _ = timed_best2(run_decontam_bloom)
+        queries["decontam_bloom_docs"] = sec
+        samples["decontam_bloom_docs"] = ss
+
         sec, ss, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )

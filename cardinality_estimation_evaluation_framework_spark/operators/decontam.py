@@ -53,14 +53,25 @@ def bloom_kernel(m: int = 1 << 22, k: int = 4, seed: int = 0) -> BloomKernel:
 def build_benchmark_bloom(bench_docs: DataFrame, n: int = 8,
                           kernel: BloomKernel | None = None,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> dict:
+                          id_col: str = "doc_id",
+                          input_partitions: int | None = None) -> dict:
     """Distributed Bloom build over the benchmark's distinct gram hashes
     (mapInPandas partials + tree merge — the engine's standard harness).
-    Returns the merged kernel state."""
+    Returns the merged kernel state.
+
+    Partitioning note (measured): each partial carries the FULL m-register
+    state (m=2^22 float64 = 32 MB), so unlike the id-sketch builds this
+    one must NOT spread a small input to every core — 32 partials of
+    32 MB cost more to merge than the build itself (60s vs 4s at sf0.1).
+    Default: keep the input's own partitioning, capped at 8; pass
+    ``input_partitions`` explicitly for a genuinely huge benchmark set.
+    """
     kernel = kernel or bloom_kernel()
     grams = word_ngrams(bench_docs, n, text_col, id_col, distinct=True)
     items = grams.select(F.xxhash64("gram").alias("item")).distinct()
-    return agg.sketch(items, kernel)
+    if input_partitions is None:
+        input_partitions = max(1, min(8, items.rdd.getNumPartitions()))
+    return agg.sketch(items, kernel, input_partitions=input_partitions)
 
 
 def _pack_bits(state: dict, kernel: BloomKernel) -> np.ndarray:
