@@ -208,6 +208,36 @@ def main() -> None:
         f"lang_id optimized plan holds {n_regex} regex nodes for "
         f"{n_langs} languages — expression duplication is back!")
 
+    # 12. decontamination: the exact path must BROADCAST the benchmark
+    # gram set (never shuffle the corpus-side grams for the join), and the
+    # Bloom scale path must contain NO join at all — the probe rides the
+    # scan as a mapInPandas over a broadcast bitset.
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        decontam as decontam_ops,
+    )
+
+    ddocs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    dbench = ddocs.where(F.col("doc_id").cast("long") % 97 == 0)
+    dec_plan = plan_of(decontam_ops.ngram_overlap_exact(ddocs, dbench, n=5))
+    sections.append((
+        "decontamination exact (benchmark grams broadcast, corpus never shuffled for the join)",
+        dec_plan,
+        ["BroadcastHashJoin"],
+    ))
+    assert "SortMergeJoin" not in dec_plan, (
+        "decontam exact join fell back to a corpus-side shuffle!")
+    kb = decontam_ops.bloom_kernel(m=1 << 18, k=2, seed=1)
+    bstate = decontam_ops.build_benchmark_bloom(dbench, n=5, kernel=kb)
+    bloom_plan = plan_of(
+        decontam_ops.flag_contaminated_bloom(ddocs, bstate, kb, n=5))
+    sections.append((
+        "decontamination Bloom probe (no join — broadcast bitset probed in-batch)",
+        bloom_plan,
+        ["MapInPandas"],
+    ))
+    assert "Join" not in tree_of(bloom_plan), (
+        "Bloom decontam probe plan contains a join!")
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:
