@@ -59,6 +59,20 @@ def main() -> None:
     docs = text.with_lang_id(docs).where(F.col("lang_pred") == "en")
     n3 = docs.count()
 
+    # 3b. benchmark decontamination (Bloom scale path): drop docs whose
+    # n-grams collide with a held-out eval set — here a planted subset
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        decontam,
+    )
+
+    bench = docs.where(F.col("doc_id").cast("long") % 97 == 0)
+    kernel = decontam.bloom_kernel(m=1 << 20, k=4, seed=11)
+    state = decontam.build_benchmark_bloom(bench, n=5, kernel=kernel)
+    flags = decontam.flag_contaminated_bloom(docs, state, kernel, n=5)
+    dirty = flags.where("contaminated").select("doc_id")
+    docs = docs.join(dirty, "doc_id", "left_anti")
+    n3b = docs.count()
+
     # 4. one-scan sketch stats over the surviving tokens
     suite = SuiteKernel({
         "reach": HllKernel(p=12, seed=1),
@@ -75,7 +89,7 @@ def main() -> None:
         agg.grouped_sketch(lens, k, ["source"], "len"), k, ["source"],
         [0.5, 0.95])
 
-    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3}")
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3} -> decontaminated {n3b}")
     print(f"distinct-token reach (HLL): {reach:,.0f}")
     print("per-source length quantiles (first 6 rows):")
     for r in sorted(qs.collect())[:6]:
