@@ -364,7 +364,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (exact path): per-doc n-gram overlap
-    against a planted benchmark subset (doc_id %% 97 == 0), broadcast
+    against a planted benchmark subset (doc_id % 97 == 0), broadcast
     join — value-exact DuckDB twin. The Bloom SCALE path is pinned
     superset-and-FP-bounded in pytest (test_decontam_exact_and_bloom)."""
     docs = _docs(spark, sf_dir).select(
