@@ -200,8 +200,8 @@ class VennEstimator:
     lattice), with subset-monotonicity enforced on u and negative regions
     clamped to 0 — the same role the reference's k=2 clamp plays. Cost of
     the VENN estimate is O(4^k) (the subset matrix) — fine for handfuls of
-    sketches. (Sampler's prior expansion is steeper, O(2^(2^k)); it caps
-    itself at k=3.)"""
+    sketches. (Sampler's prior DP is O(4^k m) too; it caps itself at
+    k=6.)"""
 
     MAX_K = 8  # 2^k x 2^k transition + (2^k-1)^2 subset solve: k=8 is a
     # 256x256 / 255x255 system (instant); beyond that the O(4^k) matrices
@@ -290,15 +290,16 @@ class Sampler:
     derive deterministic per-(run, step) seeds.
     """
 
+    MAX_K = 6  # the prior DP costs (2^k-1) * 2^k * m (k=6: ~4000 m-length
+    # passes, ~seconds) and the (m, 2^k) prior matrix stays small; beyond
+    # that the combination posterior gets too diffuse to sample usefully.
+    # (Brute subset enumeration — the pre-round-4 implementation — capped
+    # at k=3 because it is O(2^(2^k)).)
+
     def __init__(self, kernel: LiquidLegionsKernel, states: list[State], rng: np.random.RandomState):
-        # the general prior expansion below enumerates region SUBSETS —
-        # 2^(2^k - 1) terms — so it is tractable only for small k (k=3:
-        # 128 terms; k=4 would be 32768, k=5 ~2*10^9). Cap explicitly
-        # rather than hang; fold larger collections pairwise via
-        # sequential_estimate instead.
-        assert 1 <= len(states) <= 3, (
-            "Sampler supports k <= 3 sketches (prior expansion is "
-            "O(2^(2^k)); use sequential_estimate for larger collections)")
+        assert 1 <= len(states) <= self.MAX_K, (
+            f"Sampler supports k <= {self.MAX_K} sketches; fold larger "
+            "collections pairwise via sequential_estimate")
         self.kernel = kernel
         self.states = states
         self.rng = rng
@@ -333,27 +334,35 @@ class Sampler:
         return self._venn_priors_general(v)
 
     def _venn_priors_general(self, v: np.ndarray) -> np.ndarray:
-        """P(observed combination c) = sum over region subsets R whose OR of
-        membership masks equals c of prod_{T in R} v_T prod_{T not in R}
-        (1 - v_T). Region T's membership mask IS its index, so the k=2
-        closed form above (e.g. the ``p1 p2 (1-p3) + p3`` cell) is the
-        special case — pinned equal in tests. Regions hit independently
-        given the Venn cardinalities, exactly the reference's model."""
+        """P(observed combination c) = distribution of the OR of
+        independent region indicators: region T (mask = its index) hits
+        with prob v_T and contributes its mask to the observed
+        combination. Computed as a DP over regions — fold one region at a
+        time into an (m, 2^k) state distribution:
+
+            dist[c | T] += dist[c] * v_T ;  dist[c] *= (1 - v_T)
+
+        This is algebraically the subset-sum expansion (sum over region
+        subsets R with OR(R) = c of prod v_T prod (1 - v_T)) but costs
+        (2^k - 1) * 2^k * m instead of 2^(2^k - 1) * m — which is what
+        caps brute enumeration at k=3 (k=4 is 32768 full-m passes; the
+        DP is 240). The k=2 closed form above (e.g. the
+        ``p1 p2 (1-p3) + p3`` cell) is the special case — pinned equal in
+        tests, as is DP == brute enumeration at k=3. Regions hit
+        independently given the Venn cardinalities, exactly the
+        reference's model."""
         k = len(self.states)
         n_regions = 2**k - 1
         vr = np.clip(v[:, 1:], 0.0, 1.0)  # clamped region hit probs
-        priors = np.zeros((self.kernel.m, 2**k))
-        for r_mask in range(2**n_regions):
-            prob = np.ones(self.kernel.m)
-            bits = 0
-            for t in range(1, n_regions + 1):
-                if r_mask >> (t - 1) & 1:
-                    bits |= t
-                    prob = prob * vr[:, t - 1]
-                else:
-                    prob = prob * (1 - vr[:, t - 1])
-            priors[:, bits] += prob
-        return priors
+        dist = np.zeros((self.kernel.m, 2**k))
+        dist[:, 0] = 1.0
+        for t in range(1, n_regions + 1):
+            p = vr[:, t - 1][:, None]
+            hit = dist * p  # mass whose combination gains region t's mask
+            dist = dist * (1.0 - p)
+            for c in range(2**k):
+                dist[:, c | t] += hit[:, c]
+        return dist
 
     def posteriors(self) -> np.ndarray:
         priors = self._venn_priors()

@@ -191,6 +191,55 @@ def test_sampler_three_sketches_priors_posteriors_and_sample():
             (orig["counts"] > 0).astype(np.int64), samp["counts"])
 
 
+def test_sampler_prior_dp_matches_brute_enumeration():
+    """The OR-convolution DP (round 4) must equal the brute subset-sum
+    expansion it replaced, term for term — re-derived here independently
+    over the full 2^(2^k - 1) region subsets at k=3."""
+    k = LiquidLegionsKernel(a=10.0, m=500, seed=31)
+    sets = [np.arange(i * 120, i * 120 + 260, dtype=np.int64) for i in range(3)]
+    sts = [k.update(k.empty(), s) for s in sets]
+    smp = Sampler(k, sts, np.random.RandomState(3))
+    idx = np.arange(k.m)
+    v = smp.kernel.hit_probability(idx, smp.venn_cardinalities)
+    dp = smp._venn_priors_general(v)
+
+    n_regions = 7
+    vr = np.clip(v[:, 1:], 0.0, 1.0)
+    brute = np.zeros((k.m, 8))
+    for r_mask in range(2**n_regions):
+        prob = np.ones(k.m)
+        bits = 0
+        for t in range(1, n_regions + 1):
+            if r_mask >> (t - 1) & 1:
+                bits |= t
+                prob = prob * vr[:, t - 1]
+            else:
+                prob = prob * (1 - vr[:, t - 1])
+        brute[:, bits] += prob
+    np.testing.assert_allclose(dp, brute, rtol=1e-9, atol=1e-12)
+
+
+def test_sampler_four_sketches():
+    """k=4 Sampler (brute expansion would be 32768 full-m passes; the DP
+    makes it routine): priors/posteriors are proper distributions, and
+    sampling clean sketches reproduces their occupancy exactly."""
+    k = LiquidLegionsKernel(a=10.0, m=30_000, seed=16)
+    sets = [np.arange(i * 4_000, i * 4_000 + 9_000, dtype=np.int64)
+            for i in range(4)]
+    sts = [k.update(k.empty(), s) for s in sets]
+    smp = Sampler(k, sts, np.random.RandomState(4))
+    priors = smp._venn_priors()
+    assert priors.shape == (k.m, 16)
+    np.testing.assert_allclose(priors.sum(axis=1), 1.0, atol=1e-9)
+    post = smp.posteriors()
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-9)
+    for orig, samp in zip(sts, smp.sample()):
+        np.testing.assert_array_equal(
+            (orig["counts"] > 0).astype(np.int64), samp["counts"])
+    with pytest.raises(AssertionError, match="k <= 6"):
+        Sampler(k, sts * 2, np.random.RandomState(5))
+
+
 # ---------------- CascadingLegions ----------------
 
 @pytest.mark.parametrize("n", [5_000, 50_000, 500_000])
