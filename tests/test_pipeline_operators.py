@@ -246,6 +246,24 @@ def test_connected_components_chain_log_rounds(spark):
     assert cc._cc_rounds <= 16, cc._cc_rounds
 
 
+def test_connected_components_hot_node_star(spark):
+    """Skew shape: one hub connected to 30k leaves (the boilerplate-dup
+    pattern at corpus scale). The per-round edge-label join keys on the
+    node id, so the hub's edges all hash to one partition — AQE skew-join
+    splitting keeps this from serializing, and the star converges in a
+    couple of rounds regardless of fanout."""
+    n = 30_000
+    edges = spark.range(1, n).select(
+        F.lit("hub").alias("doc_a"),
+        F.concat(F.lit("leaf_"), F.col("id")).alias("doc_b"),
+    )
+    cc = dedup.connected_components(edges, max_iter=10)
+    rows = cc.groupBy("rep").count().collect()
+    assert len(rows) == 1 and rows[0]["count"] == n  # hub + n-1 leaves
+    assert rows[0]["rep"] == "hub"  # "hub" < "leaf_*" lexicographically
+    assert cc._cc_rounds <= 4, cc._cc_rounds
+
+
 def test_dedup_keep_representatives(docs_small):
     spark = docs_small.sparkSession
     docs = docs_small.limit(10).select(
