@@ -849,3 +849,38 @@ def dedup_keep_representatives(docs: DataFrame, clusters: DataFrame,
     return docs.join(
         drop, docs[id_col].cast("string") == drop["_drop_id"], "left_anti"
     )
+
+
+def dedup_keep_best(docs: DataFrame, clusters: DataFrame, score_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the HIGHEST-``score_col`` member of each dup cluster instead of
+    the min-id representative (ties broken by min id for determinism) —
+    what a production pipeline wants when docs carry a quality score.
+
+    Plan: clusters is O(clustered docs) — tiny next to the corpus — so the
+    winner per cluster comes from one groupBy max_by over the scored
+    cluster members, and the corpus pays one left-anti join against the
+    losers. Docs in no cluster pass through untouched.
+    """
+    ids = docs.select(
+        F.col(id_col).cast("string").alias("_cid"),
+        F.col(score_col).alias("_score"),
+    )
+    members = clusters.join(ids, clusters["doc_id"] == ids["_cid"]).select(
+        "rep", "doc_id", "_score"
+    )
+    winner = members.groupBy("rep").agg(F.max("_score").alias("best_score"))
+    best = (
+        members.join(winner, "rep")
+        .where(F.col("_score") == F.col("best_score"))
+        .groupBy("rep")
+        .agg(F.min("doc_id").alias("keep_id"))  # deterministic tie-break
+    )
+    losers = (
+        members.join(best, "rep")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("_drop_id"))
+    )
+    return docs.join(
+        losers, docs[id_col].cast("string") == losers["_drop_id"], "left_anti"
+    )

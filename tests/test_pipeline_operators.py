@@ -246,6 +246,26 @@ def test_connected_components_chain_log_rounds(spark):
     assert cc._cc_rounds <= 16, cc._cc_rounds
 
 
+def test_dedup_keep_best(spark):
+    """Quality-aware dedup: the highest-scoring member of each cluster
+    survives (ties -> min id); unclustered docs pass through."""
+    docs = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("d", 0.5), ("z", 0.1)],
+        "doc_id string, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")],
+        "doc_id string, rep string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_best(docs, clusters, "quality").collect()
+    )
+    # cluster {a,b,c}: b and c tie at 0.9 -> min id "b"; singleton {d}
+    # keeps itself; "z" unclustered passes through
+    assert kept == ["b", "d", "z"]
+
+
 def test_connected_components_hot_node_star(spark):
     """Skew shape: one hub connected to 30k leaves (the boilerplate-dup
     pattern at corpus scale). The per-round edge-label join keys on the
