@@ -30,6 +30,7 @@ from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
 from cardinality_estimation_evaluation_framework_spark.operators import (
     decontam as decontam_ops,
     dedup as dedup_ops,
+    mixing as mixing_ops,
     similarity as sim_ops,
     text as text_ops,
 )
@@ -374,6 +375,42 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_ops.ngram_overlap_exact(docs, bench, n=5)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: keep each doc iff
+    portable-md5-u01(seed|doc_id) < fraction(source) — reproducible under
+    any partitioning; the DuckDB twin reproduces MEMBERSHIP exactly."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return mixing_ops.deterministic_sample(
+        docs, _MIX_FRACTIONS, seed=5, default_fraction=0.2
+    ).select("doc_id", "source")
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over docs with deterministically PLANTED pii (every
+    doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
+    twin plants): per-source redaction counts + scrubbed corpus md5."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source",
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 123-4567 at 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = mixing_ops.scrub_pii(docs, out_col="scrubbed")
+    return scrubbed.groupBy("source").agg(
+        F.sum("n_pii_email").cast("long").alias("emails"),
+        F.sum("n_pii_phone").cast("long").alias("phones"),
+        F.sum("n_pii_ipv4").cast("long").alias("ips"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -515,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "decontam_overlap": q_decontam_overlap,
+        "mixture_sample": q_mixture_sample,
+        "pii_scrub_stats": q_pii_scrub_stats,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -526,6 +565,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # --------------------------------------------------------------------------
+
+_MIX_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.9}
+
+_PII_DOCS_SQL = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,"
+    " CASE WHEN doc_id % 31 = 0 THEN text || ' contact u' ||"
+    " CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 123-4567"
+    " at 10.0.0.1' ELSE text END AS text FROM documents"
+)
 
 _PLANTED_DOCS_SQL = (
     "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
@@ -675,10 +723,23 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": dedup_ops.simhash_near_dup_pairs_sql(
             max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
         ),
+        "pii_scrub_stats": (
+            lambda ex: (
+                f"SELECT source, CAST(sum({ex['n_pii_email']}) AS BIGINT) AS emails,"
+                f" CAST(sum({ex['n_pii_phone']}) AS BIGINT) AS phones,"
+                f" CAST(sum({ex['n_pii_ipv4']}) AS BIGINT) AS ips,"
+                f" count(*) AS n_docs"
+                f" FROM ({_PII_DOCS_SQL}) GROUP BY source"
+            )
+        )(mixing_ops.scrub_pii_sql("text")),
         "decontam_overlap": decontam_ops.ngram_overlap_exact_sql(
             n=5,
             source_sql="SELECT * FROM documents",
             bench_sql="SELECT * FROM documents WHERE CAST(doc_id AS BIGINT) % 97 = 0",
+        ),
+        "mixture_sample": mixing_ops.deterministic_sample_sql(
+            _MIX_FRACTIONS, seed=5, default_fraction=0.2,
+            source_sql="SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents",
         ),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(

@@ -1,0 +1,120 @@
+"""Dataset mixing: deterministic per-group sampling for training-data
+mixture weights, plus PII scrubbing.
+
+``deterministic_sample`` keeps a row iff
+portable_u01(id) < fraction(group): a pure function of the row's id and
+the seed — re-running, re-partitioning, or re-reading the input yields
+the SAME sample (unlike ``DataFrame.sample``/``sampleBy``, whose output
+depends on partitioning and evaluation order). That reproducibility is
+what a training pipeline needs: the mixture is an auditable property of
+the dataset, not of the job that happened to materialize it. The
+uniform comes from the md5-u64 portable hash (hashing.md5_u64_spark),
+so a DuckDB twin reproduces membership EXACTLY — the correctness gate
+compares the sampled ids value-for-value, not just counts.
+
+``scrub_pii`` redacts emails / international-ish phone numbers / IPv4s
+with conservative regexes that mean the same thing in Spark (Java regex)
+and DuckDB (RE2), single pass per pattern, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cardinality_estimation_evaluation_framework_spark.hashing import (
+    md5_u64_duckdb,
+    md5_u64_spark,
+)
+
+# conservative, dialect-portable patterns (no lookaround, no \b on RE2
+# edge cases beyond word chars)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+_REDACTED = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def _u01(col: Column) -> Column:
+    """Deterministic uniform in [0, 1): portable md5-u64 of the id, top 53
+    bits (exact in double) / 2^53. Signed int64 -> unsigned via the
+    shiftrightunsigned by 11 (the sign bit lands in the mantissa range)."""
+    return F.shiftrightunsigned(md5_u64_spark(col), 11) / F.lit(float(1 << 53))
+
+
+def _u01_duckdb(expr: str) -> str:
+    return f"CAST(({md5_u64_duckdb(expr)} >> 11) AS DOUBLE) / {float(1 << 53)}"
+
+
+def deterministic_sample(df: DataFrame, fractions: dict[str, float],
+                         group_col: str = "source",
+                         id_col: str = "doc_id",
+                         seed: int = 0,
+                         default_fraction: float = 0.0) -> DataFrame:
+    """Keep each row iff u01(seed || id) < fraction of its group.
+
+    Groups absent from ``fractions`` fall back to ``default_fraction``
+    (0.0 = drop, 1.0 = keep all). The decision never looks at other rows:
+    no shuffle, no state — the filter rides the scan and the same row is
+    kept in every run, any partitioning.
+    """
+    u = _u01(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    frac = None
+    for g, p in sorted(fractions.items()):
+        cond = F.col(group_col).cast("string") == g
+        frac = F.when(cond, F.lit(float(p))) if frac is None else frac.when(cond, F.lit(float(p)))
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(
+        F.lit(float(default_fraction)))
+    return df.where(u < frac)
+
+
+def deterministic_sample_sql(fractions: dict[str, float],
+                             group_col: str = "source",
+                             id_col: str = "doc_id",
+                             seed: int = 0,
+                             default_fraction: float = 0.0,
+                             source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`deterministic_sample` (same kept rows)."""
+    u = _u01_duckdb(f"'{seed}|' || CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN CAST({group_col} AS VARCHAR) = '{g}' THEN {float(p)}"
+        for g, p in sorted(fractions.items())
+    )
+    frac = f"(CASE {cases} ELSE {float(default_fraction)} END)" if cases else (
+        str(float(default_fraction)))
+    return f"SELECT * FROM ({source_sql}) WHERE {u} < {frac}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact emails/phones/IPv4s (one regexp_replace pass per pattern)
+    and attach per-row redaction counts n_pii_<kind>."""
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        df = df.withColumn(
+            f"n_pii_{kind}",
+            F.regexp_count(scrubbed, F.lit(pat)).cast("int"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, _REDACTED[kind])
+    return df.withColumn(out_col, scrubbed)
+
+
+def scrub_pii_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins: expressions for the scrubbed text and per-kind
+    counts. Application order matters (email before phone/ip, matching
+    scrub_pii's dict order) because redaction can destroy later matches;
+    counts are measured on the PROGRESSIVELY scrubbed text like the
+    Spark side."""
+    exprs = {}
+    scrubbed = text_col
+    for kind, pat in PII_PATTERNS.items():
+        exprs[f"n_pii_{kind}"] = (
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS INT)"
+        )
+        scrubbed = (
+            f"regexp_replace({scrubbed}, '{pat}', '{_REDACTED[kind]}', 'g')"
+        )
+    exprs["scrubbed"] = scrubbed
+    return exprs

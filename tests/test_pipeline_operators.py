@@ -500,3 +500,82 @@ def test_decontam_exact_matches_duckdb(docs_small):
     assert got[["doc_id", "n_grams", "n_hits"]].values.tolist() == \
         want[["doc_id", "n_grams", "n_hits"]].values.tolist()
     assert got["contaminated"].tolist() == want["contaminated"].tolist()
+
+
+# ---------------- mixing / PII ----------------
+
+def test_deterministic_sample_reproducible_and_matches_duckdb(docs_small):
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    docs = docs_small.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    fracs = {"src0": 0.5, "src1": 0.25, "src2": 0.9}
+    a = mixing.deterministic_sample(docs, fracs, seed=7, default_fraction=0.1)
+    b = mixing.deterministic_sample(
+        docs.repartition(13), fracs, seed=7, default_fraction=0.1)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < docs.count()
+    # seed changes the sample
+    ids_c = sorted(
+        r["doc_id"] for r in mixing.deterministic_sample(
+            docs, fracs, seed=8, default_fraction=0.1).collect())
+    assert ids_a != ids_c
+    # value-exact vs DuckDB twin
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        r[0] for r in con.sql(mixing.deterministic_sample_sql(
+            fracs, seed=7, default_fraction=0.1)).fetchall())
+    assert ids_a == want
+    # observed rates track the requested fractions
+    rates = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for g, p in fracs.items():
+        obs = rates.get(g, 0) / totals[g]
+        assert abs(obs - p) < 0.35, (g, obs, p)  # small per-group counts
+
+
+def test_scrub_pii_and_duckdb_twin(spark):
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    rows = [
+        ("1", "mail me at alice.smith+x@example.com or bob@test.org thanks"),
+        ("2", "call +1 (555) 123-4567 from 10.0.0.1 today"),
+        ("3", "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in mixing.scrub_pii(df, out_col="scrubbed").collect()}
+    assert out["1"]["n_pii_email"] == 2
+    assert "<EMAIL>" in out["1"]["scrubbed"]
+    assert "alice" not in out["1"]["scrubbed"].split("<EMAIL>")[0] + ""
+    assert out["2"]["n_pii_phone"] == 1 and out["2"]["n_pii_ipv4"] == 1
+    assert "<PHONE>" in out["2"]["scrubbed"] and "<IP>" in out["2"]["scrubbed"]
+    assert out["3"]["scrubbed"] == rows[2][1]
+    # DuckDB twin agreement on counts and scrubbed text
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ex = mixing.scrub_pii_sql()
+    want = con.sql(
+        f"SELECT doc_id, {ex['n_pii_email']} AS e, {ex['n_pii_phone']} AS p,"
+        f" {ex['n_pii_ipv4']} AS i, {ex['scrubbed']} AS s FROM t"
+    ).fetchall()
+    for doc_id, e, p, i, s in want:
+        r = out[doc_id]
+        assert (e, p, i) == (r["n_pii_email"], r["n_pii_phone"], r["n_pii_ipv4"]), doc_id
+        assert s == r["scrubbed"], doc_id
