@@ -73,6 +73,17 @@ def main() -> None:
     docs = docs.join(dirty, "doc_id", "left_anti")
     n3b = docs.count()
 
+    # 3c. PII scrub + mixture sampling (deterministic: same sample under
+    # any partitioning)
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    docs = mixing.scrub_pii(docs)
+    docs = mixing.deterministic_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, seed=42, default_fraction=0.8)
+    n3c = docs.count()
+
     # 4. one-scan sketch stats over the surviving tokens
     suite = SuiteKernel({
         "reach": HllKernel(p=12, seed=1),
@@ -89,7 +100,7 @@ def main() -> None:
         agg.grouped_sketch(lens, k, ["source"], "len"), k, ["source"],
         [0.5, 0.95])
 
-    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3} -> decontaminated {n3b}")
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3} -> decontaminated {n3b} -> mixed {n3c}")
     print(f"distinct-token reach (HLL): {reach:,.0f}")
     print("per-source length quantiles (first 6 rows):")
     for r in sorted(qs.collect())[:6]:
