@@ -411,6 +411,17 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals (duplicate-word fraction,
+    top-bigram fraction) — quality-filter inputs, value-exact twin."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return text_ops.with_repetition_stats(docs).select(
+        "doc_id", "word_rep_frac", "top_bigram_frac"
+    )
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -554,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "mixture_sample": q_mixture_sample,
         "pii_scrub_stats": q_pii_scrub_stats,
+        "repetition_stats": q_repetition_stats,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -723,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": dedup_ops.simhash_near_dup_pairs_sql(
             max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
         ),
+        "repetition_stats": text_ops.repetition_stats_sql(),
         "pii_scrub_stats": (
             lambda ex: (
                 f"SELECT source, CAST(sum({ex['n_pii_email']}) AS BIGINT) AS emails,"

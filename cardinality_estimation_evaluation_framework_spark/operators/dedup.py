@@ -141,13 +141,16 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     signature kernel runs shuffle-free on the raw exploded grams."""
     words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
     doc = docs.select(F.col(id_col).cast("string").alias("doc_id"), words.alias("w"))
+    # guard: sequence(0, -1) is DESCENDING in Spark ([0, -1]), and
+    # slice(start=0) throws — docs with fewer than n words must yield an
+    # EMPTY index array, not a descending one
+    idxs = F.when(
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = doc.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-            )
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))
         ).alias("gram"),
     )
     return grams.distinct() if distinct else grams

@@ -218,3 +218,88 @@ def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.withColumn("rolling_fp", rolling_fp(F.col(text_col)))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+
+    - ``word_rep_frac``: 1 - distinct_words / words (0 = no repetition)
+    - ``top_bigram_frac``: occurrences of the doc's most frequent word
+      bigram / total bigrams (boilerplate detector)
+
+    word_rep_frac is a pure column expression; top_bigram_frac needs a
+    per-(doc, bigram) count — explode + two groupBys keyed on doc_id
+    (map-side combined) and a broadcast-size join back. Null/short texts
+    get 0.0 for both.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda x: x != "")
+    base = df.withColumn("_w", words).withColumn(
+        "word_rep_frac",
+        F.when(
+            F.size("_w") > 0,
+            F.round(1.0 - F.size(F.array_distinct("_w")) / F.size("_w"), 6),
+        ).otherwise(0.0),
+    )
+    # empty index array for docs with < 2 words (sequence(0, -1) would be
+    # DESCENDING and slice(start=0) throws — same guard as word_ngrams)
+    idxs = F.when(
+        F.size("_w") >= 2, F.sequence(F.lit(0), F.size("_w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, 2)))
+        ).alias("bg"),
+    )
+    per_doc = (
+        bigrams.groupBy("_bid", "bg").agg(F.count("*").alias("c"))
+        .groupBy("_bid")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select(
+            "_bid",
+            F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.join(per_doc, base[id_col] == per_doc["_bid"], "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .drop("_w", "_bid")
+    )
+
+
+def repetition_stats_sql(text_col: str = "text", id_col: str = "doc_id",
+                         source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of with_repetition_stats -> (doc_id, word_rep_frac,
+    top_bigram_frac)."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({id_col} AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM ({source_sql})
+),
+wstats AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0
+              THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS word_rep_frac
+  FROM base
+),
+bigrams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM base WHERE len(w) >= 2
+  )
+),
+bstats AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT w.doc_id, w.word_rep_frac,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM wstats w LEFT JOIN bstats b ON b.doc_id = w.doc_id
+"""

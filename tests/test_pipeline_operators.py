@@ -579,3 +579,42 @@ def test_scrub_pii_and_duckdb_twin(spark):
         r = out[doc_id]
         assert (e, p, i) == (r["n_pii_email"], r["n_pii_phone"], r["n_pii_ipv4"]), doc_id
         assert s == r["scrubbed"], doc_id
+
+
+def test_repetition_stats_and_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("1", "spam spam spam spam spam"),               # max repetition
+        ("2", "all words here are fully distinct ones"), # none
+        ("3", "ab cd ab cd ab cd xy"),                   # heavy top bigram
+        ("4", ""),                                       # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in text.with_repetition_stats(df).collect()}
+    assert out["1"]["word_rep_frac"] == 0.8       # 1 - 1/5
+    assert out["1"]["top_bigram_frac"] == 1.0     # all bigrams "spam spam"
+    assert out["2"]["word_rep_frac"] == 0.0
+    assert out["3"]["top_bigram_frac"] == pytest.approx(3 / 6, abs=1e-6)
+    assert out["4"]["word_rep_frac"] == 0.0 and out["4"]["top_bigram_frac"] == 0.0
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.sql(text.repetition_stats_sql()).fetchall()
+    for doc_id, wrf, tbf in want:
+        assert out[doc_id]["word_rep_frac"] == pytest.approx(wrf, abs=1e-9)
+        assert out[doc_id]["top_bigram_frac"] == pytest.approx(tbf, abs=1e-9)
+
+
+def test_word_ngrams_short_and_empty_docs(spark):
+    """Docs with fewer than n words yield NO grams (previously crashed:
+    sequence(0,-1) is descending and slice(start=0) throws)."""
+    df = spark.createDataFrame(
+        [("1", ""), ("2", "one"), ("3", "two words"), ("4", "three word doc")],
+        "doc_id string, text string",
+    )
+    out = dedup.word_ngrams(df, n=3).collect()
+    assert {r["doc_id"] for r in out} == {"4"}
+    # and the LSH pipeline survives such docs end-to-end
+    assert dedup.minhash_dedup_pairs(df, num_hashes=16, bands=4,
+                                     persist=False).count() == 0
