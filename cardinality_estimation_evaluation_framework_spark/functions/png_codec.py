@@ -141,19 +141,29 @@ def to_grayscale(arr: np.ndarray) -> np.ndarray:
     return a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
 
 
+def _resize_rows(a: np.ndarray, out_n: int) -> np.ndarray:
+    """Resize axis 0 of a 2-D array to out_n rows. Downsampling bins by
+    floor(i * out / in) and block-means (exact, every bin owns >= 1 input
+    row because the floor map is monotone surjective when out <= in);
+    upsampling gathers by floor(j * in / out) (nearest-neighbor) so every
+    output row carries a real input row — never a zero fill."""
+    n = a.shape[0]
+    if n == 0:
+        return np.zeros((out_n, a.shape[1]))
+    if out_n >= n:
+        return a[(np.arange(out_n) * n) // out_n].astype(np.float64, copy=True)
+    bins = (np.arange(n) * out_n) // n
+    sums = np.zeros((out_n, a.shape[1]))
+    np.add.at(sums, bins, a)
+    cnt = np.bincount(bins, minlength=out_n)[:, None]
+    return sums / cnt
+
+
 def block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic area-mean resize of a 2-D array to (out_h, out_w):
-    each output cell averages the input pixels whose bin it owns (bins by
-    floor(i * out / in) — exact, no float resampling kernel)."""
-    h, w = gray.shape
-    row_bin = (np.arange(h) * out_h) // max(h, 1)
-    col_bin = (np.arange(w) * out_w) // max(w, 1)
-    # two bincount passes: rows then columns (separable mean)
-    row_sum = np.zeros((out_h, w))
-    row_cnt = np.bincount(row_bin, minlength=out_h)[:, None]
-    np.add.at(row_sum, row_bin, gray)
-    rows = row_sum / np.maximum(row_cnt, 1)
-    col_sum = np.zeros((out_h, out_w))
-    col_cnt = np.bincount(col_bin, minlength=out_w)[None, :]
-    np.add.at(col_sum.T, col_bin, rows.T)
-    return col_sum / np.maximum(col_cnt, 1)
+    separable (rows then columns); each direction block-means when
+    shrinking and nearest-neighbor-gathers when growing, so every output
+    cell averages at least one real input pixel (no zero-filled bins for
+    inputs smaller than the target — ADVICE r4)."""
+    rows = _resize_rows(gray.astype(np.float64), out_h)
+    return _resize_rows(rows.T, out_w).T

@@ -83,10 +83,18 @@ def flag_contaminated_bloom(docs: DataFrame, bloom_state: dict,
                             kernel: BloomKernel, n: int = 8,
                             min_hits: int = 1,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            include_gramless: bool = True) -> DataFrame:
     """(doc_id, n_grams, n_hits, contaminated) — n_hits counts the doc's
     DISTINCT grams whose k Bloom probes all hit; superset of the exact
-    overlap (no false negatives), overcount bounded by the FP rate."""
+    overlap (no false negatives), overcount bounded by the FP rate.
+
+    ``include_gramless=True`` (default) left-joins the per-doc counts back
+    onto the full doc-id set so docs with < n words still get a row
+    (n_grams=0, contaminated=false) — one extra co-partitioned join of two
+    SLIM (doc_id, counts) relations, cheap next to the corpus scan. Pass
+    False to keep the probe plan literally join-free (gram-less docs are
+    then absent from the output — the r3 behavior)."""
     packed = _pack_bits(bloom_state, kernel)
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(packed)
@@ -118,9 +126,28 @@ def flag_contaminated_bloom(docs: DataFrame, bloom_state: dict,
             })
 
     partial = grams.mapInPandas(probe, schema="doc_id string, n_grams long, n_hits long")
+    agg_df = partial.groupBy("doc_id").agg(
+        F.sum("n_grams").alias("n_grams"), F.sum("n_hits").alias("n_hits")
+    )
+    if include_gramless:
+        return _with_gramless_docs(docs, agg_df, min_hits, id_col)
+    return agg_df.withColumn("contaminated", F.col("n_hits") >= min_hits)
+
+
+def _with_gramless_docs(docs: DataFrame, agg_df: DataFrame, min_hits: int,
+                        id_col: str) -> DataFrame:
+    """Docs with fewer than n words produce zero grams and would vanish
+    from the per-gram aggregates (ADVICE r4); left-join the aggregates
+    back onto the full doc-id set so every input doc gets a row
+    (n_grams=0, n_hits=0, contaminated=false)."""
+    ids = docs.select(F.col(id_col).cast("string").alias("doc_id")).distinct()
     return (
-        partial.groupBy("doc_id")
-        .agg(F.sum("n_grams").alias("n_grams"), F.sum("n_hits").alias("n_hits"))
+        ids.join(agg_df, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
 
@@ -129,7 +156,9 @@ def ngram_overlap_exact(docs: DataFrame, bench_docs: DataFrame, n: int = 8,
                         min_hits: int = 1, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Exact variant: distinct doc grams left-joined against the
-    BROADCAST benchmark gram set — the oracle/verification path."""
+    BROADCAST benchmark gram set — the oracle/verification path.
+    Every input doc appears in the output; gram-less (short) docs get
+    n_grams=0, contaminated=false."""
     doc_grams = word_ngrams(docs, n, text_col, id_col, distinct=True)
     bench_grams = (
         word_ngrams(bench_docs, n, text_col, id_col, distinct=True)
@@ -137,14 +166,11 @@ def ngram_overlap_exact(docs: DataFrame, bench_docs: DataFrame, n: int = 8,
         .withColumn("_hit", F.lit(1))
     )
     joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
-    return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
-        )
-        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    agg_df = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
     )
+    return _with_gramless_docs(docs, agg_df, min_hits, id_col)
 
 
 def ngram_overlap_exact_sql(n: int = 8, min_hits: int = 1,
@@ -166,12 +192,18 @@ def ngram_overlap_exact_sql(n: int = 8, min_hits: int = 1,
 
     return f"""
 WITH doc_grams AS MATERIALIZED ({grams_cte(source_sql)}),
-bench_grams AS MATERIALIZED (SELECT DISTINCT gram FROM ({grams_cte(bench_sql)}))
-SELECT d.doc_id,
-       count(*) AS n_grams,
-       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= {min_hits}
-         AS contaminated
-FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
-GROUP BY d.doc_id
+bench_grams AS MATERIALIZED (SELECT DISTINCT gram FROM ({grams_cte(bench_sql)})),
+doc_ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id FROM ({source_sql})),
+agg AS (
+  SELECT d.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
+  GROUP BY d.doc_id
+)
+SELECT i.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_hits, 0) AS n_hits,
+       coalesce(a.n_hits, 0) >= {min_hits} AS contaminated
+FROM doc_ids i LEFT JOIN agg a ON i.doc_id = a.doc_id
 """

@@ -36,6 +36,12 @@ PII_PATTERNS = {
 _REDACTED = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for splicing into a single-quoted SQL
+    literal (doubles embedded quotes — ``o'reilly`` -> ``o''reilly``)."""
+    return str(s).replace("'", "''")
+
+
 def _u01(col: Column) -> Column:
     """Deterministic uniform in [0, 1): portable md5-u64 of the id, top 53
     bits (exact in double) / 2^53. Signed int64 -> unsigned via the
@@ -78,7 +84,7 @@ def deterministic_sample_sql(fractions: dict[str, float],
     """DuckDB twin of :func:`deterministic_sample` (same kept rows)."""
     u = _u01_duckdb(f"'{seed}|' || CAST({id_col} AS VARCHAR)")
     cases = " ".join(
-        f"WHEN CAST({group_col} AS VARCHAR) = '{g}' THEN {float(p)}"
+        f"WHEN CAST({group_col} AS VARCHAR) = '{_sql_str(g)}' THEN {float(p)}"
         for g, p in sorted(fractions.items())
     )
     frac = f"(CASE {cases} ELSE {float(default_fraction)} END)" if cases else (

@@ -138,12 +138,21 @@ def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16
             wav_codec,
         )
 
-        if modality == "image" and (
-            pil_or_none() is not None or png_codec.is_png(payload)
-        ):
-            return decode_image_real(payload, feature_dim)
-        if modality == "audio" and wav_codec.is_wav(payload):
-            return decode_audio_real(payload, feature_dim)
+        try:
+            if modality == "image" and (
+                pil_or_none() is not None or png_codec.is_png(payload)
+            ):
+                return decode_image_real(payload, feature_dim)
+            if modality == "audio" and wav_codec.is_wav(payload):
+                return decode_audio_real(payload, feature_dim)
+        except ValueError as e:
+            # header magic matched but the variant is unsupported (e.g.
+            # 24-bit PCM, interlaced PNG): surface the DOCUMENTED seam
+            # error, not a codec-internal ValueError (ADVICE r4)
+            raise NotImplementedError(
+                f"{modality} payload matched a codec header but the "
+                f"variant is unsupported here: {e}"
+            ) from e
         raise NotImplementedError(
             f"no {modality} codec libraries in this environment; "
             "pass fake=True or plug a real decoder here"

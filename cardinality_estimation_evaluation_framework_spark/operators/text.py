@@ -68,10 +68,18 @@ def _lang_scores(t: Column) -> dict[str, Column]:
     """One regexp_count per language (alternation of its marker words) —
     a single regex pass over the text per language, not one per word.
     Equal to the per-word sum: marker words are distinct, so alternation
-    matches partition exactly into per-word matches."""
+    matches partition exactly into per-word matches.
+
+    NULL text coalesces to score 0 so the argmax (and the DuckDB twin's
+    greatest/CASE chain) deterministically picks the first sorted
+    language instead of propagating NULL one side and falling through to
+    the last language on the other."""
     lowered = F.lower(t)
     return {
-        lang: F.regexp_count(lowered, F.lit(rf"\b({'|'.join(words)})\b"))
+        lang: F.coalesce(
+            F.regexp_count(lowered, F.lit(rf"\b({'|'.join(words)})\b")),
+            F.lit(0),
+        )
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -104,7 +112,9 @@ def lang_id_sql(text_col: str = "text") -> str:
 
     def score(lang):
         alt = "|".join(LANG_MARKERS[lang])
-        return _count_regex_sql(f"lower({text_col})", rf"\b({alt})\b")
+        pat = rf"\b({alt})\b"
+        # coalesce: NULL text -> 0 on both engines (see _lang_scores)
+        return f"coalesce({_count_regex_sql(f'lower({text_col})', pat)}, 0)"
 
     scores = {lang: score(lang) for lang in langs}
     gmax = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"

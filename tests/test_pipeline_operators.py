@@ -618,3 +618,133 @@ def test_word_ngrams_short_and_empty_docs(spark):
     # and the LSH pipeline survives such docs end-to-end
     assert dedup.minhash_dedup_pairs(df, num_hashes=16, bands=4,
                                      persist=False).count() == 0
+
+
+# ---------------- round-5 ADVICE regressions ----------------
+
+def test_lang_id_null_text_deterministic(spark):
+    """NULL text scores coalesce to 0 on BOTH engines -> first sorted
+    language, not NULL (Spark) / last language (DuckDB) — ADVICE r4."""
+    import duckdb
+
+    df = spark.createDataFrame([("1", None), ("2", "the cat and the dog")],
+                               "doc_id string, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+    first_lang = sorted(text.LANG_MARKERS)[0]
+    assert got["1"] == first_lang
+    assert got["2"] == "en"
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = dict(con.sql(
+        f"SELECT doc_id, {text.lang_id_sql('text')} AS lang_pred FROM d"
+    ).fetchall())
+    assert want == got
+
+
+def test_block_mean_resize_upsampling_no_zero_fill():
+    """Inputs smaller than the target gather real pixels (nearest) instead
+    of zero-filling unowned bins — ADVICE r4."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        png_codec as pc,
+    )
+
+    tiny = np.full((2, 3), 200.0)
+    out = pc.block_mean_resize(tiny, 8, 8)
+    assert out.shape == (8, 8)
+    assert (out == 200.0).all()  # every cell averages real pixels
+    # mixed direction: shrink rows, grow cols
+    rect = np.arange(12, dtype=float).reshape(6, 2)
+    out2 = pc.block_mean_resize(rect, 3, 4)
+    assert out2.shape == (3, 4) and (out2 > 0).all()
+    # pure downsampling path unchanged: exact block means
+    quad = np.array([[0.0, 2.0], [4.0, 6.0]])
+    assert pc.block_mean_resize(quad, 1, 1)[0, 0] == 3.0
+
+
+def test_decontam_short_docs_get_zero_rows(spark):
+    """Docs with < n words appear with n_grams=0 / contaminated=false in
+    the exact path, the Bloom path, AND the DuckDB twin — ADVICE r4."""
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        decontam,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "tiny"), ("2", "benchmark sentence with many shared words here"),
+         ("3", ""), ("4", "benchmark sentence with many shared words here too")],
+        "doc_id string, text string",
+    )
+    bench = df.where(F.col("doc_id") == "2")
+    got = {r["doc_id"]: r for r in
+           decontam.ngram_overlap_exact(df, bench, n=4).collect()}
+    assert set(got) == {"1", "2", "3", "4"}
+    for short_id in ("1", "3"):
+        assert got[short_id]["n_grams"] == 0
+        assert got[short_id]["n_hits"] == 0
+        assert got[short_id]["contaminated"] is False
+    assert got["2"]["contaminated"] is True
+
+    kernel = decontam.bloom_kernel(m=1 << 16, k=3, seed=5)
+    state = decontam.build_benchmark_bloom(bench, n=4, kernel=kernel)
+    bloom = {r["doc_id"]: r for r in decontam.flag_contaminated_bloom(
+        df, state, kernel, n=4).collect()}
+    assert set(bloom) == {"1", "2", "3", "4"}
+    assert bloom["1"]["n_grams"] == 0 and bloom["1"]["contaminated"] is False
+    # join-free mode keeps the r3 contract: gram-less docs absent
+    lean = {r["doc_id"] for r in decontam.flag_contaminated_bloom(
+        df, state, kernel, n=4, include_gramless=False).collect()}
+    assert lean == {"2", "4"}
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {r[0]: r for r in con.sql(decontam.ngram_overlap_exact_sql(
+        n=4, source_sql="SELECT * FROM documents",
+        bench_sql="SELECT * FROM documents WHERE doc_id = '2'",
+    )).fetchall()}
+    assert set(want) == {"1", "2", "3", "4"}
+    for did, row in got.items():
+        assert want[did][1] == row["n_grams"] and want[did][2] == row["n_hits"]
+
+
+def test_decode_stub_unsupported_variant_raises_seam_error():
+    """A payload whose header magic matches but whose variant the codec
+    rejects surfaces the DOCUMENTED NotImplementedError, never a raw
+    ValueError — ADVICE r4."""
+    import struct as _struct
+
+    # hand-rolled RIFF/WAVE header claiming 24-bit PCM (width wav_decode
+    # rejects) with a data chunk
+    fmt = _struct.pack("<HHIIHH", 1, 1, 16_000, 16_000 * 3, 3, 24)
+    body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", 6) + b"\x00" * 6
+    payload = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        wav_codec,
+    )
+    assert wav_codec.is_wav(payload)
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        multimodal.decode_stub(payload, "audio", fake=False)
+
+
+def test_deterministic_sample_sql_escapes_quotes(spark):
+    """Group values containing single quotes survive the SQL twin —
+    ADVICE r4 (o'reilly injection)."""
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "o'reilly" if i % 2 else "plain") for i in range(40)],
+        "doc_id string, source string",
+    )
+    fracs = {"o'reilly": 0.5, "plain": 0.25}
+    ids = sorted(r["doc_id"] for r in
+                 mixing.deterministic_sample(df, fracs, seed=3).collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = sorted(r[0] for r in con.sql(
+        mixing.deterministic_sample_sql(fracs, seed=3)).fetchall())
+    assert ids == want and len(ids) > 0

@@ -229,7 +229,8 @@ def main() -> None:
     kb = decontam_ops.bloom_kernel(m=1 << 18, k=2, seed=1)
     bstate = decontam_ops.build_benchmark_bloom(dbench, n=5, kernel=kb)
     bloom_plan = plan_of(
-        decontam_ops.flag_contaminated_bloom(ddocs, bstate, kb, n=5))
+        decontam_ops.flag_contaminated_bloom(
+            ddocs, bstate, kb, n=5, include_gramless=False))
     sections.append((
         "decontamination Bloom probe (no join — broadcast bitset probed in-batch)",
         bloom_plan,
@@ -237,6 +238,22 @@ def main() -> None:
     ))
     assert "Join" not in tree_of(bloom_plan), (
         "Bloom decontam probe plan contains a join!")
+    # default mode adds ONE slim join-back (gram-less docs get 0-rows);
+    # the gram stream itself must still be probe-only: every join in the
+    # plan is on the two-column (doc_id, counts) relations, so the plan
+    # gains exactly one Join node over the join-free mode and the
+    # MapInPandas probe is still there.
+    bloom_full_plan = plan_of(
+        decontam_ops.flag_contaminated_bloom(ddocs, bstate, kb, n=5))
+    sections.append((
+        "decontamination Bloom probe + gram-less join-back (one slim doc_id join)",
+        bloom_full_plan,
+        ["MapInPandas"],
+    ))
+    n_joins = tree_of(bloom_full_plan).count("Join")
+    assert n_joins == 1, (
+        f"Bloom decontam with gramless join-back should hold exactly one "
+        f"slim join, found {n_joins}")
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
