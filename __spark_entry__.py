@@ -418,7 +418,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return text_ops.with_repetition_stats(docs).select(
-        "doc_id", "word_rep_frac", "top_bigram_frac"
+        "doc_id", "word_rep_frac", "top_bigram_frac", "top_trigram_frac",
+        "top_quadgram_frac", "dup_line_frac", "dup_para_frac"
     )
 
 

@@ -230,86 +230,139 @@ def with_rolling_fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn("rolling_fp", rolling_fp(F.col(text_col)))
 
 
+def _dup_frac(arr: Column) -> Column:
+    """1 - distinct/total over a (possibly NULL/empty) array column,
+    rounded to 6; 0.0 for empty/NULL."""
+    return F.when(
+        F.size(arr) > 0,
+        F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr), 6),
+    ).otherwise(0.0)
+
+
+# Gopher repetition-signal n-gram set: bigram name kept for backward
+# compatibility with the r4 gate row
+TOP_NGRAM_COLS = {2: "top_bigram_frac", 3: "top_trigram_frac",
+                  4: "top_quadgram_frac"}
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style intra-document repetition signals:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    quality rules; count-fraction form of the published char-fraction
+    signals — monotone-equivalent per fixed n):
 
     - ``word_rep_frac``: 1 - distinct_words / words (0 = no repetition)
-    - ``top_bigram_frac``: occurrences of the doc's most frequent word
-      bigram / total bigrams (boilerplate detector)
+    - ``top_bigram_frac`` / ``top_trigram_frac`` / ``top_quadgram_frac``:
+      occurrences of the doc's most frequent word n-gram / total n-grams
+      (boilerplate detector)
+    - ``dup_line_frac`` / ``dup_para_frac``: 1 - distinct/total over
+      non-blank lines (split on \\n) and paragraphs (split on blank
+      lines, \\n{2,})
 
-    word_rep_frac is a pure column expression; top_bigram_frac needs a
-    per-(doc, bigram) count — explode + two groupBys keyed on doc_id
-    (map-side combined) and a broadcast-size join back. Null/short texts
-    get 0.0 for both.
+    word_rep_frac and the line/paragraph fractions are pure column
+    expressions (array ops — no explode, no shuffle); each top-n-gram
+    fraction needs a per-(doc, gram) count — explode + two groupBys keyed
+    on doc_id (map-side combined) and a broadcast-size join back.
+    Null/short texts get 0.0 for every signal.
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
                      lambda x: x != "")
-    base = df.withColumn("_w", words).withColumn(
-        "word_rep_frac",
-        F.when(
-            F.size("_w") > 0,
-            F.round(1.0 - F.size(F.array_distinct("_w")) / F.size("_w"), 6),
-        ).otherwise(0.0),
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != "")
+    paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
+                     lambda x: F.trim(x) != "")
+    base = (
+        df.withColumn("_w", words)
+        .withColumn("word_rep_frac", _dup_frac(F.col("_w")))
+        .withColumn("dup_line_frac", _dup_frac(lines))
+        .withColumn("dup_para_frac", _dup_frac(paras))
     )
-    # empty index array for docs with < 2 words (sequence(0, -1) would be
-    # DESCENDING and slice(start=0) throws — same guard as word_ngrams)
-    idxs = F.when(
-        F.size("_w") >= 2, F.sequence(F.lit(0), F.size("_w") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = base.select(
-        F.col(id_col).alias("_bid"),
-        F.explode(
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, 2)))
-        ).alias("bg"),
-    )
-    per_doc = (
-        bigrams.groupBy("_bid", "bg").agg(F.count("*").alias("c"))
-        .groupBy("_bid")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
-        .select(
-            "_bid",
-            F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+    out = base
+    for n, out_name in TOP_NGRAM_COLS.items():
+        # empty index array for docs with < n words (sequence(0, -n+1)
+        # would be DESCENDING and slice(start=0) throws — same guard as
+        # word_ngrams)
+        idxs = F.when(
+            F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            F.col(id_col).alias("_bid"),
+            F.explode(
+                F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, n)))
+            ).alias("bg"),
         )
-    )
-    return (
-        base.join(per_doc, base[id_col] == per_doc["_bid"], "left")
-        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
-        .drop("_w", "_bid")
-    )
+        per_doc = (
+            grams.groupBy("_bid", "bg").agg(F.count("*").alias("c"))
+            .groupBy("_bid")
+            .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+            .select(
+                "_bid",
+                F.round(F.col("top_c") / F.col("total_c"), 6).alias(out_name),
+            )
+        )
+        out = (
+            out.join(per_doc, out[id_col] == per_doc["_bid"], "left")
+            .withColumn(out_name, F.coalesce(out_name, F.lit(0.0)))
+            .drop("_bid")
+        )
+    return out.drop("_w")
 
 
 def repetition_stats_sql(text_col: str = "text", id_col: str = "doc_id",
                          source_sql: str = "SELECT * FROM documents") -> str:
     """DuckDB twin of with_repetition_stats -> (doc_id, word_rep_frac,
-    top_bigram_frac)."""
+    top_bigram_frac, top_trigram_frac, top_quadgram_frac, dup_line_frac,
+    dup_para_frac)."""
+
+    def dup_frac_sql(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) > 0 THEN round(1.0 - "
+            f"CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}), 6) "
+            f"ELSE 0.0 END"
+        )
+
+    gram_ctes, gram_joins, gram_cols = [], [], []
+    for n, out_name in TOP_NGRAM_COLS.items():
+        gram_ctes.append(f"""
+grams{n} AS (
+  SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS bg
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+    FROM base WHERE len(w) >= {n}
+  )
+),
+gstats{n} AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS {out_name}
+  FROM (SELECT doc_id, bg, count(*) AS c FROM grams{n} GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)""")
+        gram_joins.append(f"LEFT JOIN gstats{n} g{n} ON g{n}.doc_id = w.doc_id")
+        gram_cols.append(f"coalesce(g{n}.{out_name}, 0.0) AS {out_name}")
+
+    lines = (
+        f"list_filter(string_split_regex({text_col}, '\\n'), x -> trim(x) <> '')"
+    )
+    paras = (
+        f"list_filter(string_split_regex({text_col}, '\\n{{2,}}'), "
+        f"x -> trim(x) <> '')"
+    )
     return f"""
 WITH base AS MATERIALIZED (
   SELECT CAST({id_col} AS VARCHAR) AS doc_id,
          list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
-                     x -> x <> '') AS w
+                     x -> x <> '') AS w,
+         {dup_frac_sql(lines)} AS dup_line_frac,
+         {dup_frac_sql(paras)} AS dup_para_frac
   FROM ({source_sql})
 ),
 wstats AS (
   SELECT doc_id,
-         CASE WHEN len(w) > 0
-              THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-              ELSE 0.0 END AS word_rep_frac
+         {dup_frac_sql('w')} AS word_rep_frac,
+         dup_line_frac, dup_para_frac
   FROM base
-),
-bigrams AS (
-  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
-    FROM base WHERE len(w) >= 2
-  )
-),
-bstats AS (
-  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
-  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
-  GROUP BY doc_id
-)
+),{','.join(gram_ctes)}
 SELECT w.doc_id, w.word_rep_frac,
-       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
-FROM wstats w LEFT JOIN bstats b ON b.doc_id = w.doc_id
+       {', '.join(gram_cols)},
+       w.dup_line_frac, w.dup_para_frac
+FROM wstats w {' '.join(gram_joins)}
 """

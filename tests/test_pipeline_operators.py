@@ -600,10 +600,46 @@ def test_repetition_stats_and_duckdb_twin(spark):
     assert out["4"]["word_rep_frac"] == 0.0 and out["4"]["top_bigram_frac"] == 0.0
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
-    want = con.sql(text.repetition_stats_sql()).fetchall()
-    for doc_id, wrf, tbf in want:
-        assert out[doc_id]["word_rep_frac"] == pytest.approx(wrf, abs=1e-9)
-        assert out[doc_id]["top_bigram_frac"] == pytest.approx(tbf, abs=1e-9)
+    want = con.sql(text.repetition_stats_sql()).df()
+    for _, w in want.iterrows():
+        for col in ("word_rep_frac", "top_bigram_frac", "top_trigram_frac",
+                    "top_quadgram_frac", "dup_line_frac", "dup_para_frac"):
+            assert out[w["doc_id"]][col] == pytest.approx(w[col], abs=1e-9), col
+
+
+def test_repetition_stats_lines_and_paragraphs(spark):
+    """Duplicate-line / duplicate-paragraph fractions (full Gopher rule
+    set): blank-line paragraph split, non-blank line filter, and the
+    3/4-gram top fractions."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("1", "line a\nline b\nline a\n\nline c"),        # 1 dup line of 4
+        ("2", "para one here\n\npara two here\n\n\npara one here"),  # dup para
+        ("3", "x y z x y z x y z"),                       # strong 3-gram
+        ("4", "no newlines at all"),
+        ("5", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in text.with_repetition_stats(df).collect()}
+    assert out["1"]["dup_line_frac"] == pytest.approx(0.25, abs=1e-6)
+    assert out["1"]["dup_para_frac"] == 0.0  # paragraphs "a\nb\na" vs "c"
+    assert out["2"]["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["3"]["top_trigram_frac"] == pytest.approx(3 / 7, abs=1e-6)
+    assert out["3"]["top_quadgram_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out["4"]["dup_line_frac"] == 0.0
+    assert all(out["5"][c] == 0.0 for c in (
+        "word_rep_frac", "top_bigram_frac", "top_trigram_frac",
+        "top_quadgram_frac", "dup_line_frac", "dup_para_frac"))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.sql(text.repetition_stats_sql()).df()
+    for _, w in want.iterrows():
+        for col in ("word_rep_frac", "top_bigram_frac", "top_trigram_frac",
+                    "top_quadgram_frac", "dup_line_frac", "dup_para_frac"):
+            assert out[w["doc_id"]][col] == pytest.approx(w[col], abs=1e-9), (
+                w["doc_id"], col)
 
 
 def test_word_ngrams_short_and_empty_docs(spark):

@@ -66,6 +66,8 @@ _SPECIALS = [
     "o'reilly café naïve 日本語 text",  # unicode + quote
     "aaa aaa aaa aaa aaa",  # maximal repetition
     "The THE the tHe",  # case folding
+    "dup line\ndup line\nother\n\npara\n\npara",  # line/paragraph dups
+    "  \n \n\n  ",  # whitespace-only lines
 ]
 
 
@@ -76,9 +78,11 @@ def rand_text(rng: random.Random, max_words: int = 30) -> str | None:
     if roll < 0.18:
         return rng.choice(_SPECIALS)
     n = rng.randint(1, max_words)
-    return " ".join(
-        rng.choice(_WORDS) + rng.choice(_PUNCT) for _ in range(n)
-    )
+    sep = lambda: "\n" if rng.random() < 0.07 else " "  # occasional newlines
+    out = ""
+    for i in range(n):
+        out += ("" if i == 0 else sep()) + rng.choice(_WORDS) + rng.choice(_PUNCT)
+    return out
 
 
 def rand_docs(rng: random.Random, spark, n_docs: int = 40,
@@ -303,7 +307,8 @@ def fam_fingerprint(rng, spark, con):
 def fam_repetition(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_repetition_stats(docs).select(
-        "doc_id", "word_rep_frac", "top_bigram_frac")
+        "doc_id", "word_rep_frac", *text_ops.TOP_NGRAM_COLS.values(),
+        "dup_line_frac", "dup_para_frac")
     con.register("documents", pdf)
     sql = text_ops.repetition_stats_sql()
     return "corpus-only", compare(got, con, sql)
