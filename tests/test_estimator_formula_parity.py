@@ -243,3 +243,55 @@ def test_adbf_sketch_operator_parity():
     t_union = their_bayes.union(ref1, ref2).sketch
     m_union = my_bayes.union(st1, st2)["registers"]
     np.testing.assert_allclose(m_union, t_union, rtol=1e-12)
+
+
+# ---------------- IndependentSetEstimator goldens ----------------
+# Ported from the reference's independent_set_estimator_test.py (the one
+# §2.e estimator previously pinned only via the registry).
+
+def _exact_state(ids):
+    from cardinality_estimation_evaluation_framework_spark.sketches.exact import (
+        ExactMultiSetKernel,
+    )
+
+    k = ExactMultiSetKernel()
+    return k.update(k.empty(), np.asarray(list(ids), dtype=np.int64)), k
+
+
+def _independent_estimator(universe_size):
+    from cardinality_estimation_evaluation_framework_spark.sketches.exact import (
+        lossless_estimate,
+    )
+    from cardinality_estimation_evaluation_framework_spark.sketches.meta_estimators import (
+        IndependentSetEstimator,
+    )
+
+    return IndependentSetEstimator(lossless_estimate, universe_size)
+
+
+def test_independent_set_estimator_empty_list():
+    assert _independent_estimator(100)([]) == [0.0]
+
+
+def test_independent_set_estimator_single_sketch():
+    st, _ = _exact_state([1, 2, 2, 3, 3, 3, 4, 5])
+    assert _independent_estimator(100)([st]) == pytest.approx([5, 2, 1])
+
+
+def test_independent_set_estimator_two_sketches_single_frequency():
+    st1, _ = _exact_state(range(50))
+    st2, _ = _exact_state(range(50))
+    assert _independent_estimator(100)([st1, st2]) == pytest.approx([75, 25])
+
+
+def test_independent_set_estimator_two_sketches_multiple_frequencies():
+    st1, _ = _exact_state(list(range(50)) + list(range(20)))
+    st2, _ = _exact_state(list(range(30)) + list(range(10)))
+    assert _independent_estimator(100)([st1, st2]) == pytest.approx(
+        [65, 34, 9, 2])
+
+
+def test_independent_set_estimator_universe_size_exceeded():
+    st, _ = _exact_state(range(11))
+    with pytest.raises(AssertionError):
+        _independent_estimator(10)([st])
