@@ -3,11 +3,14 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct
 (modality, width/height or sample_rate, codec). The Spark-side plumbing —
 schema, partition sizing, Arrow batch shapes, mapInPandas signatures — is
-real and tested; the actual codec decode is STUBBED (no imaging/audio libs
-in this environment): ``decode_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector from the payload bytes so downstream operators (dedup, ANN) can be
-exercised end-to-end.
+real and tested, and every modality has a REAL pure-stdlib decode path:
+PNG via functions/png_codec, WAV/PCM via functions/wav_codec, YUV4MPEG2
+video via functions/y4m_codec (PIL is used for images when importable).
+Compressed formats beyond those (JPEG, MP3, H.264...) raise the
+documented NotImplementedError seam — swap a codec-equipped decoder in
+on a cluster image that ships the libs. ``fake=True`` keeps the old
+deterministic byte-derived features so plumbing is testable with
+arbitrary payloads.
 
 Batch-size note (100 TB posture): binary payloads dominate Arrow batch
 memory, so the reader caps ``maxRecordsPerBatch`` via bytes_per_batch /
@@ -121,14 +124,27 @@ def decode_audio_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
     return wav_codec.block_rms_features(samples, feature_dim)
 
 
+def decode_video_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
+    """REAL video decode via the stdlib YUV4MPEG2 codec: middle frame's
+    luma plane -> the same grayscale grid features as the image path."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        y4m_codec,
+    )
+
+    n, _ = y4m_codec.y4m_frame_count(payload)
+    frames, _ = y4m_codec.y4m_decode(payload, frame_indexes=[n // 2])
+    return y4m_codec.frame_features(frames[0], feature_dim)
+
+
 def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16) -> np.ndarray:
     """Decode + feature-extract one payload.
 
-    With ``fake=False``, image and audio payloads go through REAL
-    decoders: images via PIL when importable, else the pure-stdlib PNG
-    codec for PNG payloads (decode_image_real); audio via the stdlib WAV
-    codec for RIFF/PCM payloads (decode_audio_real). Non-PNG images
-    without PIL, compressed audio, and video raise the documented seam
+    With ``fake=False``, every modality has a REAL decoder: images via
+    PIL when importable, else the pure-stdlib PNG codec for PNG payloads
+    (decode_image_real); audio via the stdlib WAV codec for RIFF/PCM
+    payloads (decode_audio_real); video via the stdlib YUV4MPEG2 codec
+    for .y4m payloads (decode_video_real). Non-PNG images without PIL,
+    compressed audio, and compressed video raise the documented seam
     error — swap a real decoder in on a cluster image that ships the
     codec libs (no libav here).
     """
@@ -136,6 +152,7 @@ def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16
         from cardinality_estimation_evaluation_framework_spark.functions import (
             png_codec,
             wav_codec,
+            y4m_codec,
         )
 
         try:
@@ -145,6 +162,8 @@ def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16
                 return decode_image_real(payload, feature_dim)
             if modality == "audio" and wav_codec.is_wav(payload):
                 return decode_audio_real(payload, feature_dim)
+            if modality == "video" and y4m_codec.is_y4m(payload):
+                return decode_video_real(payload, feature_dim)
         except ValueError as e:
             # header magic matched but the variant is unsupported (e.g.
             # 24-bit PCM, interlaced PNG): surface the DOCUMENTED seam
@@ -191,17 +210,35 @@ def extract_features(media: DataFrame, fake: bool = True, feature_dim: int = 16,
 
 def sample_video_frames(media: DataFrame, every_nth: int = 10, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index.
-    Frame decode itself goes through the same stub seam."""
+
+    ``fake=False`` decodes REAL frame counts from YUV4MPEG2 payloads via
+    the stdlib y4m codec (one linear header scan per payload, no pixel
+    copies); non-y4m payloads raise the documented seam error. ``fake=
+    True`` derives deterministic counts from payload length so the
+    fan-out plumbing is testable with arbitrary bytes."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cardinality_estimation_evaluation_framework_spark.functions import (
+            y4m_codec,
+        )
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("no video codec in this environment")
-            # vectorized fan-out: frame count per row -> repeat + ranges,
-            # no per-row Python
-            n_frames = np.maximum(
-                pdf["payload"].map(lambda b: len(b or b"")).to_numpy(np.int64) // 1024,
-                1,
-            )
+                def count(b):
+                    if not y4m_codec.is_y4m(b):
+                        raise NotImplementedError(
+                            "only YUV4MPEG2 video decodes in this "
+                            "environment; pass fake=True or plug a codec")
+                    return y4m_codec.y4m_frame_count(b)[0]
+
+                n_frames = np.maximum(
+                    pdf["payload"].map(count).to_numpy(np.int64), 1)
+            else:
+                # vectorized fan-out: frame count per row -> repeat +
+                # ranges, no per-row Python
+                n_frames = np.maximum(
+                    pdf["payload"].map(lambda b: len(b or b"")).to_numpy(np.int64) // 1024,
+                    1,
+                )
             n_sampled = (n_frames + every_nth - 1) // every_nth
             bounds = np.concatenate(([0], np.cumsum(n_sampled)))
             local = np.arange(bounds[-1]) - np.repeat(bounds[:-1], n_sampled)
