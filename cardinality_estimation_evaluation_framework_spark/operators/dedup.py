@@ -26,6 +26,8 @@ Catalyst plans the joins; signatures themselves are Arrow-vectorized numpy
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -393,9 +395,13 @@ remix AS (
 ),
 sig AS (SELECT doc_id, k, min(hs) AS m FROM remix GROUP BY doc_id, k),
 banded AS (
+  -- k < bands*rpb: when bands does not divide num_hashes, the leftover
+  -- hashes belong to NO band (Spark slices exactly bands*rpb entries);
+  -- without this bound the ragged tail formed a phantom band and emitted
+  -- extra candidates (caught by the round-5 fuzz gate at k=7, bands=2)
   SELECT doc_id, k // {rpb} AS band,
          string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
-  FROM sig GROUP BY doc_id, k // {rpb}
+  FROM sig WHERE k < {bands * rpb} GROUP BY doc_id, k // {rpb}
 ),
 ok_buckets AS (
   SELECT band, bucket FROM banded GROUP BY band, bucket
@@ -774,8 +780,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .localCheckpoint()
     )
     rounds = 0
+    round_secs: list[tuple[float, float]] = []  # (propagate+jump, count)
     for _ in range(max_iter):
         rounds += 1
+        t0 = time.time()
         neighbor = (
             edges.join(labels, edges["b"] == labels["n"])
             .select(F.col("a").alias("n"), "label")
@@ -794,13 +802,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         new_labels = (
             propagated.join(lmap, propagated["label"] == lmap["_ln"], "left")
             .select("n", F.coalesce("_ll", "label").alias("label"))
-            .localCheckpoint()  # cut iterative lineage each round
+            .localCheckpoint()  # cut lineage (eager: materializes here)
         )
+        t1 = time.time()
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "n")
             .where(F.col("label") != F.col("old"))
             .count()
         )
+        round_secs.append((t1 - t0, time.time() - t1))
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -813,6 +823,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     edges.unpersist()
     out = labels.select(F.col("n").alias("doc_id"), F.col("label").alias("rep"))
     out._cc_rounds = rounds  # type: ignore[attr-defined]
+    out._cc_round_secs = round_secs  # type: ignore[attr-defined]
     return out
 
 
@@ -864,10 +875,16 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame, score_col: str,
     winner per cluster comes from one groupBy max_by over the scored
     cluster members, and the corpus pays one left-anti join against the
     losers. Docs in no cluster pass through untouched.
+
+    NULL scores rank below every real score (coalesced to -inf), so a
+    cluster whose members are ALL unscored still keeps exactly one doc
+    (the min-id member) instead of silently keeping everyone.
     """
     ids = docs.select(
         F.col(id_col).cast("string").alias("_cid"),
-        F.col(score_col).alias("_score"),
+        F.coalesce(
+            F.col(score_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_score"),
     )
     members = clusters.join(ids, clusters["doc_id"] == ids["_cid"]).select(
         "rep", "doc_id", "_score"

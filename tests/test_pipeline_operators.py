@@ -266,6 +266,25 @@ def test_dedup_keep_best(spark):
     assert kept == ["b", "d", "z"]
 
 
+def test_dedup_keep_best_null_scores(spark):
+    """NULL scores rank below real scores; an all-NULL cluster still
+    collapses to one (min-id) member instead of keeping everyone."""
+    docs = spark.createDataFrame(
+        [("a", None), ("b", 0.4), ("c", None), ("p", None), ("q", None)],
+        "doc_id string, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("p", "p"), ("q", "p")],
+        "doc_id string, rep string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_best(docs, clusters, "quality").collect()
+    )
+    # {a,b,c}: only b is scored -> b; {p,q}: all NULL -> min id p
+    assert kept == ["b", "p"]
+
+
 def test_connected_components_hot_node_star(spark):
     """Skew shape: one hub connected to 30k leaves (the boilerplate-dup
     pattern at corpus scale). The per-round edge-label join keys on the
