@@ -143,7 +143,9 @@ def main() -> int:
 
     # ---- 3. Bloom decontam superset at 100x ----
     ddocs = docs.select("doc_id", "text")
-    bench = ddocs.where(F.col("doc_id").cast("long") % 97 == 0)
+    # crc32, not cast-to-long: planted ids ("dup_<n>") are non-numeric and
+    # an ANSI cast throws mid-stage on them.
+    bench = ddocs.where(F.crc32(F.col("doc_id")) % 97 == 0)
     t0 = time.time()
     exact = {
         r["doc_id"]: r["n_hits"]
