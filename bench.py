@@ -302,7 +302,17 @@ def main() -> None:
             bench_docs = d.where(F.col("doc_id").cast("long") % 97 == 0)
             kernel = decontam.bloom_kernel(m=1 << 22, k=4, seed=3)
             state = decontam.build_benchmark_bloom(bench_docs, n=5, kernel=kernel)
-            return decontam.flag_contaminated_bloom(d, state, kernel, n=5).count()
+            out = decontam.flag_contaminated_bloom(d, state, kernel, n=5)
+            # .count() is NOT a valid terminal here: the gram-less
+            # join-back makes the output `doc_ids LEFT JOIN agg` with a
+            # distinct right key, so Catalyst's distinct-keys propagation
+            # eliminates the join — and with it the ENTIRE Bloom probe —
+            # from a count-only plan (verified via optimizedPlan; the
+            # r5 A/B first recorded a bogus 10x "speedup" this way).
+            # Summing n_hits forces the probe pipeline.
+            return out.agg(
+                F.sum("n_hits"), F.sum(F.col("contaminated").cast("long"))
+            ).first()
 
         sec, ss, _ = timed_best2(run_decontam_bloom)
         queries["decontam_bloom_docs"] = sec
