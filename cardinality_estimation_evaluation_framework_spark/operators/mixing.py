@@ -53,19 +53,53 @@ def _u01_duckdb(expr: str) -> str:
     return f"CAST(({md5_u64_duckdb(expr)} >> 11) AS DOUBLE) / {float(1 << 53)}"
 
 
+# beyond this many groups the chained-CASE fraction lookup is replaced by
+# a broadcast join against a fractions table: Catalyst keeps every CASE
+# branch as a separate expression node, so a thousand-domain mixture would
+# bloat the plan (same failure shape as the lang-ID 2^k argmax blowup,
+# SCALE.md) — while a broadcast hash join against a #groups-row table is
+# O(1) per row regardless of map size
+_CASE_CHAIN_MAX = 64
+
+
 def deterministic_sample(df: DataFrame, fractions: dict[str, float],
                          group_col: str = "source",
                          id_col: str = "doc_id",
                          seed: int = 0,
-                         default_fraction: float = 0.0) -> DataFrame:
+                         default_fraction: float = 0.0,
+                         use_join: bool | None = None) -> DataFrame:
     """Keep each row iff u01(seed || id) < fraction of its group.
 
     Groups absent from ``fractions`` fall back to ``default_fraction``
     (0.0 = drop, 1.0 = keep all). The decision never looks at other rows:
     no shuffle, no state — the filter rides the scan and the same row is
     kept in every run, any partitioning.
+
+    Fraction lookup: a chained CASE for small maps (stays inside the
+    scan's codegen stage), a broadcast join against a #groups-row
+    fractions table beyond ``_CASE_CHAIN_MAX`` groups (``use_join``
+    overrides the auto choice; membership is identical either way — the
+    kept set is a pure function of (seed, id, fraction), not of the plan).
     """
     u = _u01(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    if use_join is None:
+        use_join = len(fractions) > _CASE_CHAIN_MAX
+    if use_join and fractions:
+        spark = df.sparkSession
+        ftab = spark.createDataFrame(
+            [(str(g), float(p)) for g, p in sorted(fractions.items())],
+            "_ds_group string, _ds_frac double",
+        )
+        frac = F.coalesce(F.col("_ds_frac"), F.lit(float(default_fraction)))
+        return (
+            df.join(
+                F.broadcast(ftab),
+                F.col(group_col).cast("string") == F.col("_ds_group"),
+                "left",
+            )
+            .where(u < frac)
+            .drop("_ds_group", "_ds_frac")
+        )
     frac = None
     for g, p in sorted(fractions.items()):
         cond = F.col(group_col).cast("string") == g

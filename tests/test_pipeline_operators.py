@@ -565,6 +565,43 @@ def test_deterministic_sample_reproducible_and_matches_duckdb(docs_small):
         assert abs(obs - p) < 0.35, (g, obs, p)  # small per-group counts
 
 
+def test_deterministic_sample_join_path_identical(docs_small):
+    """The broadcast-join fraction lookup (auto beyond _CASE_CHAIN_MAX
+    groups) keeps the IDENTICAL row set as the CASE chain, has the same
+    columns, and actually broadcasts."""
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    docs = docs_small.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    fracs = {"src0": 0.5, "src1": 0.25, "src2": 0.9}
+    big = dict(fracs, **{f"pad{i}": 0.37 for i in range(80)})
+    assert len(big) > mixing._CASE_CHAIN_MAX
+    by_case = mixing.deterministic_sample(
+        docs, big, seed=7, default_fraction=0.1, use_join=False)
+    by_join = mixing.deterministic_sample(
+        docs, big, seed=7, default_fraction=0.1)  # auto -> join
+    assert by_join.columns == docs.columns
+    plan = by_join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    ids_case = sorted(r["doc_id"] for r in by_case.collect())
+    ids_join = sorted(r["doc_id"] for r in by_join.collect())
+    assert ids_case == ids_join and ids_join
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        r[0] for r in con.sql(mixing.deterministic_sample_sql(
+            big, seed=7, default_fraction=0.1)).fetchall())
+    assert ids_join == want
+    # empty map + use_join=True degrades to the default-fraction filter
+    none_kept = mixing.deterministic_sample(
+        docs, {}, seed=7, default_fraction=0.0, use_join=True)
+    assert none_kept.count() == 0
+
+
 def test_scrub_pii_and_duckdb_twin(spark):
     import duckdb
 

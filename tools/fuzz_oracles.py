@@ -249,6 +249,13 @@ def fam_sample(rng, spark, con):
         ["src0", "src1", "src2", "o'reilly", 'qu"ote', "café", "with space"], 4
     )
     fractions = {g: round(rng.random(), 3) for g in groups}
+    # ~1/3 of trials: pad past _CASE_CHAIN_MAX so the broadcast-join
+    # fraction lookup is exercised against the same DuckDB CASE twin
+    big = rng.random() < 0.35
+    if big:
+        fractions.update({
+            f"pad{i}": round(rng.random(), 3) for i in range(80)
+        })
     seed = rng.randrange(0, 10**6)
     default = rng.choice([0.0, 0.15, 1.0])
     docs, pdf = rand_docs(rng, spark)
@@ -271,7 +278,8 @@ def fam_sample(rng, spark, con):
         fractions, seed=seed, default_fraction=default,
         source_sql="SELECT doc_id, source FROM documents",
     )
-    return f"groups={groups} seed={seed} default={default}", compare(got, con, sql)
+    return (f"groups={groups} n_frac={len(fractions)} seed={seed} "
+            f"default={default}"), compare(got, con, sql)
 
 
 def fam_textstats(rng, spark, con):
@@ -337,6 +345,194 @@ def fam_pii(rng, spark, con):
     return "planted-pii", compare(got, con, sql)
 
 
+def _rand_edges(rng, n_nodes: int):
+    """Random undirected edge list with planted worst-case shapes: a chain
+    (pointer-jump stressor), a star (skew hub), a self-loop, and random
+    extra edges — ids deliberately mix zero-padded and bare-numeric strings
+    so lexicographic min-label order is exercised on both engines."""
+    ids = [f"n{i:02d}" if i % 3 else str(i) for i in range(n_nodes)]
+    edges = []
+    chain_len = rng.randint(0, min(8, n_nodes))
+    for i in range(chain_len - 1):
+        edges.append((ids[i], ids[i + 1]))
+    if n_nodes > chain_len + 3 and rng.random() < 0.8:  # star
+        hub = ids[chain_len]
+        for leaf in ids[chain_len + 1: chain_len + 1 + rng.randint(1, 6)]:
+            edges.append((hub, leaf))
+    if n_nodes and rng.random() < 0.4:  # self-loop
+        edges.append((ids[rng.randrange(n_nodes)],) * 2)
+    for _ in range(rng.randint(0, 2 * n_nodes)):
+        a, b = rng.choice(ids), rng.choice(ids)
+        edges.append((a, b))
+    return edges
+
+
+def fam_cc(rng, spark, con):
+    n_nodes = rng.choice([0, 2, 5, 20, 60])
+    edges = _rand_edges(rng, n_nodes)
+    pdf = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    sdf = spark.createDataFrame(
+        edges or [], "doc_a string, doc_b string")
+    got = dedup_ops.connected_components(sdf)
+    # NOT "pairs": the twin's own WITH RECURSIVE defines a CTE named pairs
+    con.register("edge_input", pdf)
+    sql = dedup_ops.connected_components_sql(
+        "SELECT doc_a, doc_b FROM edge_input")
+    return f"nodes={n_nodes} edges={len(edges)}", compare(got, con, sql)
+
+
+def fam_keep_best(rng, spark, con):
+    """dedup_keep_best semantics under NULL scores, ties, and all-NULL
+    clusters — clusters come from Spark CC and are registered verbatim on
+    the DuckDB side, so this family isolates the keep-best logic."""
+    n_nodes = rng.choice([5, 20, 50])
+    edges = _rand_edges(rng, n_nodes)
+    ids = sorted({x for e in edges for x in e} | {f"solo{i}" for i in range(3)})
+    score = lambda: (None if rng.random() < 0.3
+                     else rng.choice([0.1, 0.5, 0.5, 0.9, round(rng.random(), 3)]))
+    doc_rows = [(i, score()) for i in ids]
+    docs = spark.createDataFrame(doc_rows, "doc_id string, score double")
+    pairs = spark.createDataFrame(edges or [], "doc_a string, doc_b string")
+    clusters = dedup_ops.connected_components(pairs)
+    cl_pdf = clusters.toPandas()
+    got = dedup_ops.dedup_keep_best(docs, clusters, "score").select("doc_id")
+    con.register("docs", pd.DataFrame(doc_rows, columns=["doc_id", "score"]))
+    con.register("clusters", cl_pdf)
+    sql = """
+WITH m AS (
+  SELECT c.rep, c.doc_id, coalesce(d.score, -1e308) AS s
+  FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
+),
+best AS (
+  SELECT m.rep, min(m.doc_id) AS keep_id
+  FROM m JOIN (SELECT rep, max(s) AS ms FROM m GROUP BY rep) w
+    ON w.rep = m.rep AND m.s = w.ms
+  GROUP BY m.rep
+)
+SELECT d.doc_id FROM docs d
+WHERE d.doc_id NOT IN (
+  SELECT m.doc_id FROM m JOIN best ON best.rep = m.rep
+  WHERE m.doc_id <> best.keep_id
+)
+"""
+    return f"nodes={n_nodes} edges={len(edges)} docs={len(ids)}", \
+        compare(got, con, sql)
+
+
+_TOK_CTE = """
+tok_raw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+toks AS (SELECT doc_id, source, tok FROM tok_raw WHERE tok <> '')
+"""
+
+
+def fam_frequency(rng, spark, con):
+    """heavy_hitters_exact top-k (random k incl. k > vocab) and the k+
+    reach histogram (random k range) on a random corpus."""
+    from cardinality_estimation_evaluation_framework_spark.datagen import (
+        tokens as tk,
+    )
+    from cardinality_estimation_evaluation_framework_spark.operators.frequency_ops import (
+        heavy_hitters_exact,
+    )
+
+    k = rng.choice([1, 3, 17, 500])
+    kmax = rng.randint(1, 12)
+    docs, pdf = rand_docs(rng, spark, n_docs=30)
+    toks = tk.tokens_exploded(docs)
+    con.register("documents", pdf)
+    got = heavy_hitters_exact(toks.select(F.col("tok").alias("item")), k=k)
+    sql = (
+        f"WITH {_TOK_CTE} SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS INT) AS rank "
+        f"FROM toks GROUP BY tok ORDER BY cnt DESC, item ASC LIMIT {k}"
+    )
+    mism = compare(got, con, sql)
+    if mism is not None:
+        return f"topk k={k}", mism
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    hist = freq.groupBy("freq").agg(F.count("*").alias("cnt"))
+    ks = spark.range(1, kmax + 1).select(F.col("id").alias("k"))
+    got2 = (
+        hist.join(ks, hist.freq >= ks.k)
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("kplus_reach"))
+    )
+    sql2 = (
+        f"WITH {_TOK_CTE}, hist AS (SELECT freq, count(*) AS cnt FROM ("
+        f"SELECT tok, count(*) AS freq FROM toks GROUP BY tok) GROUP BY freq) "
+        f"SELECT gs.k, CAST(sum(hist.cnt) AS BIGINT) AS kplus_reach "
+        f"FROM generate_series(1, {kmax}) gs(k) JOIN hist ON hist.freq >= gs.k "
+        f"GROUP BY gs.k"
+    )
+    return f"topk k={k} kplus kmax={kmax}", compare(got2, con, sql2)
+
+
+def fam_embedding(rng, spark, con):
+    """Exact cosine pairs on random float32 vectors (value-exact vs DuckDB)
+    plus an LSH precision check: every LSH pair must appear in the exact
+    pair set with the identical rounded cosine (recall is banding-dependent
+    by design, so containment — not equality — is the invariant)."""
+    dim = rng.randint(2, 12)
+    n = rng.randint(8, 40)
+    threshold = round(rng.uniform(-0.5, 0.9), 2)
+    vecs = []
+    for i in range(n):
+        v = np.round(np.array(
+            [rng.uniform(-1, 1) for _ in range(dim)], dtype=np.float32), 3)
+        if not v.any():
+            v[0] = np.float32(0.5)
+        vecs.append(v)
+    for j in range(n // 4):  # planted near-dups
+        base = vecs[rng.randrange(n)].copy()
+        base[rng.randrange(dim)] += np.float32(0.01)
+        vecs.append(np.round(base, 3))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [np.asarray(v, dtype=np.float32) for _, v in rows]}))
+    got = dedup_ops.embedding_near_dup_pairs(sdf, threshold=threshold)
+    sql = f"""
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold}
+"""
+    desc = f"dim={dim} n={len(rows)} t={threshold}"
+    mism = compare(got, con, sql)
+    if mism is not None:
+        return desc, mism
+    bands = rng.randint(1, 8)
+    planes = rng.randint(1, 6)
+    lsh = dedup_ops.embedding_near_dup_pairs_lsh(
+        sdf, threshold=threshold, bands=bands, planes_per_band=planes,
+        seed=rng.randrange(10**6), persist=False,
+    ).toPandas()
+    exact = got.toPandas()
+    merged = lsh.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"),
+                       how="left")
+    bad = merged[merged["cosine_e"].isna()
+                 | (merged["cosine_l"] != merged["cosine_e"])]
+    if len(bad):
+        return f"{desc} bands={bands} planes={planes}", (
+            f"LSH produced {len(bad)} pairs absent/mismatched vs exact")
+    return f"{desc} bands={bands} planes={planes} lsh={len(lsh)}", None
+
+
 FAMILIES = [
     ("hll_portable", fam_hll),
     ("voc_portable", fam_voc),
@@ -350,6 +546,10 @@ FAMILIES = [
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("pii_scrub", fam_pii),
+    ("connected_components", fam_cc),
+    ("dedup_keep_best", fam_keep_best),
+    ("frequency_topk_kplus", fam_frequency),
+    ("embedding_cosine", fam_embedding),
 ]
 
 
