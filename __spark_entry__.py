@@ -423,6 +423,15 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 suffix-window method):
+    per-doc coverage by 6-word windows shared verbatim across >= 2 docs.
+    Spark path fingerprints windows pre-shuffle and merges spans with a
+    Catalyst fold; the DuckDB twin re-derives coverage by raw-gram
+    grouping + exploded-position DISTINCT count."""
+    return dedup_ops.dup_span_stats(_docs(spark, sf_dir), window=6, min_docs=2)
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -567,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
+        "dup_span_stats": q_dup_span_stats,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -737,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
             max_hamming=10, source_sql=_PLANTED_DOCS_SQL,
         ),
         "repetition_stats": text_ops.repetition_stats_sql(),
+        "dup_span_stats": dedup_ops.dup_span_stats_sql(window=6, min_docs=2),
         "pii_scrub_stats": (
             lambda ex: (
                 f"SELECT source, CAST(sum({ex['n_pii_email']}) AS BIGINT) AS emails,"

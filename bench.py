@@ -318,6 +318,20 @@ def main() -> None:
         queries["decontam_bloom_docs"] = sec
         samples["decontam_bloom_docs"] = ss
 
+        def run_dup_spans():
+            # exact substring-span dedup over the full docs table; the
+            # aggregate terminal sums computed columns so no stage can be
+            # pruned out of a count-only plan
+            return (
+                dedup_ops.dup_span_stats(docs, window=6)
+                .agg(F.sum("dup_tokens"), F.sum("n_dup_windows"))
+                .first()
+            )
+
+        sec, ss, _ = timed_best2(run_dup_spans)
+        queries["dup_span_stats_docs"] = sec
+        samples["dup_span_stats_docs"] = ss
+
         sec, ss, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )

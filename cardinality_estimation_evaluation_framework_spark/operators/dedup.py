@@ -904,3 +904,168 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame, score_col: str,
     return docs.join(
         losers, docs[id_col].cast("string") == losers["_drop_id"], "left_anti"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-span dedup (rolling-window method)
+# --------------------------------------------------------------------------
+
+def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate-substring detection: per-doc coverage by W-word
+    windows that occur verbatim in >= ``min_docs`` DISTINCT documents.
+
+    The distributed equivalent of suffix-array exact substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): any shared substring of length >= 2W-1 words is guaranteed
+    to contain a shared W-window, and every shared W-window marks a real
+    W-word verbatim match, so W-window coverage is a tight proxy for
+    long-match coverage. Reference repo has no analogue (dedup family is
+    brief-driven, like dedup.py's other operators).
+
+    Output, one row per doc with >= 1 duplicated window:
+      (doc_id, n_dup_windows, n_spans, dup_tokens, n_tok, dup_frac)
+    where n_spans counts maximal merged runs of overlapping duplicated
+    windows, dup_tokens the number of token positions covered by at
+    least one duplicated window, and dup_frac = dup_tokens / n_tok.
+
+    Scale posture (100 TB): windows are fingerprinted with xxhash64
+    BEFORE any shuffle, so both aggregations and the join-back move
+    8-byte keys, never gram strings; dup detection is a two-level
+    groupBy ((fp, doc) then fp — map-side combine absorbs intra-doc
+    repeats); span merging is a pure-Catalyst sorted fold per doc — no
+    window function, no explosion of covered positions. Intra-doc-only
+    repeats are ignored here (see with_repetition_stats for those).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    doc = docs.select(F.col(id_col).cast("string").alias("doc_id"), words.alias("w"))
+    idxs = F.when(
+        F.size("w") >= window, F.sequence(F.lit(0), F.size("w") - window)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = doc.select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice("w", i + 1, window))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", "n_tok", F.col("win.pos").alias("pos"), F.col("win.fp").alias("fp"))
+    per_doc = wins.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
+    dup_fps = (
+        per_doc.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    hits = wins.join(dup_fps, "fp").select("doc_id", "n_tok", "pos")
+    w_ = window
+    per = hits.groupBy("doc_id").agg(
+        F.first("n_tok").alias("n_tok"),
+        F.count("*").alias("n_dup_windows"),
+        F.array_sort(F.collect_list("pos")).alias("starts"),
+    )
+    # fold merged-interval coverage: prev starts at -(W+1) so the first
+    # window always contributes a full W and opens a span
+    zero = F.struct(
+        F.lit(-(w_ + 1)).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("tok"),
+        F.lit(0).cast("long").alias("spans"),
+    )
+    fold = F.aggregate(
+        "starts",
+        zero,
+        lambda acc, s: F.struct(
+            s.cast("long").alias("prev"),
+            (acc["tok"] + F.least(F.lit(w_), s - acc["prev"])).alias("tok"),
+            (
+                acc["spans"] + F.when(s - acc["prev"] > w_, 1).otherwise(0)
+            ).alias("spans"),
+        ),
+    )
+    return per.select(
+        "doc_id",
+        "n_dup_windows",
+        fold["spans"].alias("n_spans"),
+        fold["tok"].alias("dup_tokens"),
+        "n_tok",
+        F.round(fold["tok"] / F.col("n_tok"), 6).alias("dup_frac"),
+    )
+
+
+def dup_span_stats_sql(window: int = 6, min_docs: int = 2,
+                       source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of dup_span_stats — deliberately a DIFFERENT
+    derivation: groups by raw gram text (no fingerprint), computes
+    coverage by DISTINCT-counting exploded covered positions, and span
+    count via a lag() window — vs Spark's hash-grouped sorted fold."""
+    w1 = window - 1
+    return f"""
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM ({source_sql})
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{w1}], ' ') AS gram,
+         len(w) AS n_tok
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {w1})) AS i
+    FROM words WHERE len(w) >= {window}
+  )
+),
+dup AS (
+  SELECT gram FROM wins GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+hits AS (
+  SELECT doc_id, pos, n_tok FROM wins WHERE gram IN (SELECT gram FROM dup)
+),
+cover AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + {w1})) AS p FROM hits)
+),
+cov AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id),
+spans AS (
+  SELECT doc_id,
+         count(*) AS n_dup_windows,
+         count(*) FILTER (WHERE prev IS NULL OR pos - prev > {window}) AS n_spans,
+         any_value(n_tok) AS n_tok
+  FROM (
+    SELECT doc_id, pos, n_tok,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+  GROUP BY doc_id
+)
+SELECT s.doc_id AS doc_id, n_dup_windows, n_spans, dup_tokens, n_tok,
+       round(CAST(dup_tokens AS DOUBLE) / n_tok, 6) AS dup_frac
+FROM spans s JOIN cov USING (doc_id)
+"""
+
+
+def filter_dup_spans(docs: DataFrame, max_dup_frac: float = 0.5,
+                     window: int = 6, min_docs: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop docs whose duplicated-span coverage exceeds ``max_dup_frac``
+    (the pipeline-filter composition of dup_span_stats): left-anti join
+    against the offender id set, original columns untouched."""
+    offenders = (
+        dup_span_stats(docs, window=window, min_docs=min_docs,
+                       text_col=text_col, id_col=id_col)
+        .where(F.col("dup_frac") > max_dup_frac)
+        .select(F.col("doc_id").alias("_off_id"))
+    )
+    return docs.join(
+        offenders, docs[id_col].cast("string") == offenders["_off_id"], "left_anti"
+    )

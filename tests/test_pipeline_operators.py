@@ -840,3 +840,122 @@ def test_deterministic_sample_sql_escapes_quotes(spark):
     want = sorted(r[0] for r in con.sql(
         mixing.deterministic_sample_sql(fracs, seed=3)).fetchall())
     assert ids == want and len(ids) > 0
+
+
+# ---------------- exact substring-span dedup ----------------
+
+def _brute_dup_spans(rows, window, min_docs=2):
+    """Pure-Python reference: per-doc coverage by W-windows shared across
+    >= min_docs distinct docs."""
+    import re
+    toks = {d: [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+            for d, t in rows}
+    wins = {}  # gram -> set(doc)
+    starts = {}  # doc -> [pos]
+    for d, ws in toks.items():
+        for i in range(len(ws) - window + 1):
+            g = " ".join(ws[i:i + window])
+            wins.setdefault(g, set()).add(d)
+    dup = {g for g, ds in wins.items() if len(ds) >= min_docs}
+    out = {}
+    for d, ws in toks.items():
+        pos = [i for i in range(len(ws) - window + 1)
+               if " ".join(ws[i:i + window]) in dup]
+        if not pos:
+            continue
+        covered = set()
+        spans = 0
+        prev = None
+        for p in pos:
+            covered.update(range(p, p + window))
+            if prev is None or p - prev > window:
+                spans += 1
+            prev = p
+        out[d] = (len(pos), spans, len(covered), len(ws),
+                  round(len(covered) / len(ws), 6))
+    return out
+
+
+def test_dup_span_stats_matches_bruteforce(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog and runs far away"),
+        ("b", "yesterday the quick brown fox jumps over the lazy dog ran home"),
+        ("c", "unrelated text with no shared windows at all in this doc"),
+        ("d", "the quick brown fox jumps over the lazy dog and runs far away"),
+        ("e", "two islands the quick brown fox jumps apart over the lazy dog and runs far away end"),
+        ("f", "tiny"),
+        ("g", None),
+        ("h", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for window in (3, 4, 6):
+        got = {
+            r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_tokens"],
+                          r["n_tok"], round(r["dup_frac"], 6))
+            for r in dedup.dup_span_stats(df, window=window).collect()
+        }
+        assert got == _brute_dup_spans(rows, window), f"window={window}"
+
+
+def test_dup_span_stats_duckdb_twin_randomized(spark):
+    import random
+    import duckdb
+    import pandas as pd
+    rng = random.Random(77)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 25)
+        rows.append((str(i), " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for window in (2, 3, 5):
+        got = (dedup.dup_span_stats(df, window=window).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (con.execute(dedup.dup_span_stats_sql(window=window)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        import pandas.testing as pdt
+        for c in ("n_dup_windows", "n_spans", "dup_tokens", "n_tok"):
+            got[c] = got[c].astype("int64")
+            want[c] = want[c].astype("int64")
+        pdt.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_dup_span_min_docs_ignores_intra_doc_repeats(spark):
+    # "x y z x y z" repeats its own 2-window but shares nothing cross-doc
+    df = spark.createDataFrame(
+        [("a", "x y z x y z"), ("b", "totally different words here")],
+        "doc_id string, text string",
+    )
+    assert dedup.dup_span_stats(df, window=2).count() == 0
+    # min_docs=1 flips it into intra-doc mode: the repeated windows count
+    got = {r["doc_id"] for r in dedup.dup_span_stats(df, window=2, min_docs=1).collect()}
+    assert "a" in got
+
+
+def test_filter_dup_spans(spark):
+    rows = [
+        ("a", "shared shingle run one two three four five six seven"),
+        ("b", "shared shingle run one two three four five six seven"),
+        ("c", "independent words that appear nowhere else in the corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = {r["doc_id"] for r in
+            dedup.filter_dup_spans(df, max_dup_frac=0.5, window=4).collect()}
+    assert kept == {"c"}
+    # threshold above coverage keeps everyone
+    kept_all = dedup.filter_dup_spans(df, max_dup_frac=1.0, window=4).count()
+    assert kept_all == 3
+
+
+def test_dup_span_window_one_and_bad_window(spark):
+    df = spark.createDataFrame(
+        [("a", "apple banana"), ("b", "banana cherry")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["dup_tokens"]
+           for r in dedup.dup_span_stats(df, window=1).collect()}
+    assert out == {"a": 1, "b": 1}  # only 'banana' is shared
+    with pytest.raises(ValueError):
+        dedup.dup_span_stats(df, window=0)

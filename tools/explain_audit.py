@@ -255,6 +255,22 @@ def main() -> None:
         f"Bloom decontam with gramless join-back should hold exactly one "
         f"slim join, found {n_joins}")
 
+    # 13. exact substring-span dedup: windows fingerprinted BEFORE any
+    # shuffle (no gram-string column survives into an Exchange), dup
+    # detection via two-level HashAggregate (map-side combine), span
+    # merge a pure-Catalyst fold — no window function, no cartesian.
+    span_plan = plan_of(dedup_ops.dup_span_stats(ddocs, window=6))
+    sections.append((
+        "substring-span dedup (fp-keyed shuffles only; fold-merged spans, no window)",
+        span_plan,
+        ["HashAggregate", "Join"],
+    ))
+    assert "CartesianProduct" not in span_plan, "dup-span join is cartesian!"
+    assert "Window" not in tree_of(span_plan), (
+        "dup-span span merge regressed from a fold to a window!")
+    assert "hashpartitioning(gram" not in span_plan, (
+        "dup-span shuffles raw gram strings instead of fingerprints!")
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:

@@ -322,6 +322,16 @@ def fam_repetition(rng, spark, con):
     return "corpus-only", compare(got, con, sql)
 
 
+def fam_dup_span(rng, spark, con):
+    window = rng.randint(1, 7)
+    min_docs = rng.choice([1, 2, 2, 3])
+    docs, pdf = rand_docs(rng, spark, n_docs=30, dup_frac=0.4)
+    got = dedup_ops.dup_span_stats(docs, window=window, min_docs=min_docs)
+    con.register("documents", pdf)
+    sql = dedup_ops.dup_span_stats_sql(window=window, min_docs=min_docs)
+    return f"w={window} min_docs={min_docs}", compare(got, con, sql)
+
+
 def fam_pii(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=25)
     # plant PII on a third of docs (same plant both sides via the corpus)
@@ -545,6 +555,7 @@ FAMILIES = [
     ("text_stats", fam_textstats),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
+    ("dup_span", fam_dup_span),
     ("pii_scrub", fam_pii),
     ("connected_components", fam_cc),
     ("dedup_keep_best", fam_keep_best),
