@@ -929,9 +929,11 @@ def test_dup_span_min_docs_ignores_intra_doc_repeats(spark):
         "doc_id string, text string",
     )
     assert dedup.dup_span_stats(df, window=2).count() == 0
-    # min_docs=1 flips it into intra-doc mode: the repeated windows count
-    got = {r["doc_id"] for r in dedup.dup_span_stats(df, window=2, min_docs=1).collect()}
-    assert "a" in got
+    # min_docs=1 is degenerate by the distinct-doc contract: EVERY window
+    # qualifies (count(distinct doc) >= 1 always), so coverage is total
+    got = {r["doc_id"]: r["dup_frac"]
+           for r in dedup.dup_span_stats(df, window=2, min_docs=1).collect()}
+    assert got["a"] == 1.0 and got["b"] == 1.0
 
 
 def test_filter_dup_spans(spark):

@@ -41,6 +41,10 @@ from cardinality_estimation_evaluation_framework_spark.operators import (
     text as text_ops,
 )
 from cardinality_estimation_evaluation_framework_spark.session import get_spark
+from cardinality_estimation_evaluation_framework_spark.sketches.kll import KllKernel
+from cardinality_estimation_evaluation_framework_spark.sketches.tdigest import (
+    TDigestKernel,
+)
 from cardinality_estimation_evaluation_framework_spark.sketches.countmin import (
     _PORTABLE_AB,
     CountMinKernel,
@@ -322,6 +326,94 @@ def fam_repetition(rng, spark, con):
     return "corpus-only", compare(got, con, sql)
 
 
+def fam_quantile_bound(rng, spark, con):
+    """Distributed KLL / t-digest build on an adversarial value column;
+    the rank-error-bound verdict per quantile is computed on Spark from
+    exact lt/le counts and independently re-derived by DuckDB from the
+    same registered values — value-exact verdict tables or bust."""
+    import math
+
+    kind = rng.choice(["kll", "kll", "tdigest"])
+    if kind == "kll":
+        k = rng.randint(50, 400)
+        kernel = KllKernel(k=k, seed=rng.randrange(1 << 20))
+        eps = kernel.eps()
+        desc_k = f"kll k={k}"
+    else:
+        delta = rng.randint(200, 500)
+        kernel = TDigestKernel(delta=delta)
+        eps = 0.01
+        desc_k = f"tdigest d={delta}"
+    n = rng.choice([1, 3, rng.randint(5, 4000)])
+    shape = rng.choice(["uniform", "lognormal", "fewdistinct", "constant",
+                        "negative"])
+    vals: list[float | None] = []
+    for _ in range(n):
+        if rng.random() < 0.05:
+            vals.append(None)
+            continue
+        if shape == "uniform":
+            v = rng.uniform(-1000, 1000)
+        elif shape == "lognormal":
+            v = math.exp(rng.gauss(0, 3))
+        elif shape == "fewdistinct":
+            v = float(rng.randint(0, 5))
+        elif shape == "constant":
+            v = 42.0
+        else:
+            v = -abs(rng.gauss(0, 100))
+        vals.append(v)
+    if all(x is None for x in vals):
+        vals[0] = 1.0
+    qs = sorted({round(rng.random(), 3) for _ in range(rng.randint(1, 6))}
+                | {0.5})
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    state = agg.sketch(sdf, kernel, col="x")
+    est = [float(v) for v in kernel.quantile(state, np.array(qs))]
+
+    c = F.col("x")
+    aggs = [F.count("x").alias("n")]
+    for i, v in enumerate(est):
+        aggs.append(F.sum((c < v).cast("long")).alias(f"lt_{i}"))
+        aggs.append(F.sum((c <= v).cast("long")).alias(f"le_{i}"))
+    r = sdf.agg(*aggs).first()
+    nn = int(r["n"])
+    rows = []
+    for i, q in enumerate(qs):
+        lo, hi = r[f"lt_{i}"] / nn, r[f"le_{i}"] / nn
+        ok = (hi >= q - eps) and (lo <= q + eps)
+        rows.append((float(q), nn, bool(ok)))
+    got = spark.createDataFrame(rows, "q double, n long, within_eps boolean")
+
+    # pyarrow keeps None as true NULL (a pandas float column would turn
+    # it into NaN, which DuckDB counts as non-null)
+    import pyarrow as pa
+
+    con.register("vals", pa.table({"x": pa.array(vals, type=pa.float64())}))
+    parts = []
+    # every literal goes through VARCHAR -> DOUBLE: DuckDB parses a bare
+    # numeric literal as DECIMAL, and DECIMAL -> DOUBLE conversion can
+    # land one ULP off Python's correctly-rounded float repr round-trip
+    # (seen: -945.9111319389093 via DECIMAL(16,13) compares strictly
+    # greater than the identical double, flipping x < v at the minimum);
+    # the string cast uses strtod and matches Python bit-for-bit
+    for q, v in zip(qs, est):
+        dq, dv, de = (f"CAST('{q!r}' AS DOUBLE)", f"CAST('{v!r}' AS DOUBLE)",
+                      f"CAST('{eps!r}' AS DOUBLE)")
+        nn_sql = "CAST((SELECT count(x) FROM vals) AS DOUBLE)"
+        parts.append(
+            f"SELECT {dq} AS q,"
+            f" (SELECT count(x) FROM vals) AS n,"
+            f" (CAST((SELECT count(*) FROM vals WHERE x <= {dv}) AS DOUBLE)"
+            f"   / {nn_sql} >= {dq} - {de})"
+            f" AND (CAST((SELECT count(*) FROM vals WHERE x < {dv}) AS DOUBLE)"
+            f"   / {nn_sql} <= {dq} + {de})"
+            f" AS within_eps"
+        )
+    sql = " UNION ALL ".join(parts)
+    return f"{desc_k} n={n} shape={shape} qs={len(qs)}", compare(got, con, sql)
+
+
 def fam_dup_span(rng, spark, con):
     window = rng.randint(1, 7)
     min_docs = rng.choice([1, 2, 2, 3])
@@ -556,6 +648,7 @@ FAMILIES = [
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
+    ("quantile_bound", fam_quantile_bound),
     ("pii_scrub", fam_pii),
     ("connected_components", fam_cc),
     ("dedup_keep_best", fam_keep_best),
