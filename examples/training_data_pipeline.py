@@ -1,8 +1,8 @@
 """End-to-end training-data pipeline over the documents corpus:
 
-    read -> exact dedup -> near-dup (minhash LSH) drop -> quality filter
-         -> language filter -> one-scan sketch stats (reach + frequency
-            + quantiles) -> per-source report
+    read -> exact dedup -> near-dup (minhash LSH) drop -> substring-span
+         filter -> quality filter -> language filter -> one-scan sketch
+         stats (reach + frequency + quantiles) -> per-source report
 
 Every stage is the engine's scale path: hash-groupBy dedup, banded LSH
 (never all-pairs), whole-stage-codegen text scoring, and a single-scan
@@ -54,6 +54,13 @@ def main() -> None:
     dedup.unpersist_intermediates(pairs)
     n2 = docs.count()
 
+    # 2b. substring-span filter: drop survivors that are mostly built of
+    # text shared verbatim with OTHER surviving docs (catches template /
+    # boilerplate docs that minhash keeps because their full-doc Jaccard
+    # stays under the threshold)
+    docs = dedup.filter_dup_spans(docs, max_dup_frac=0.8, window=8)
+    n2b = docs.count()
+
     # 3. quality + language filters (pure Catalyst, codegen)
     docs = text.with_quality_score(docs).where(F.col("quality_score") >= 0.3)
     docs = text.with_lang_id(docs).where(F.col("lang_pred") == "en")
@@ -100,7 +107,7 @@ def main() -> None:
         agg.grouped_sketch(lens, k, ["source"], "len"), k, ["source"],
         [0.5, 0.95])
 
-    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> filtered {n3} -> decontaminated {n3b} -> mixed {n3c}")
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} -> span-filtered {n2b} -> filtered {n3} -> decontaminated {n3b} -> mixed {n3c}")
     print(f"distinct-token reach (HLL): {reach:,.0f}")
     print("per-source length quantiles (first 6 rows):")
     for r in sorted(qs.collect())[:6]:

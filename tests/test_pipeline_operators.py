@@ -961,3 +961,13 @@ def test_dup_span_window_one_and_bad_window(spark):
     assert out == {"a": 1, "b": 1}  # only 'banana' is shared
     with pytest.raises(ValueError):
         dedup.dup_span_stats(df, window=0)
+
+
+def test_dup_span_partition_invariant(docs_small):
+    docs = docs_small.limit(120)
+    a = dedup.dup_span_stats(docs, window=5).toPandas()
+    b = dedup.dup_span_stats(docs.repartition(17), window=5).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)
