@@ -432,6 +432,13 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dup_span_stats(_docs(spark, sf_dir), window=6, min_docs=2)
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (train/eval leakage audit):
+    distinct grams reduced to xxhash64 fingerprints pre-shuffle on the
+    Spark side; the DuckDB twin groups raw gram text."""
+    return dedup_ops.source_overlap_matrix(_docs(spark, sf_dir), n=3)
+
+
 def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine retrieval above a threshold for a fixed query
     vector (the ANN baseline; LSH/IVF variants are pytest-verified)."""
@@ -577,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "similarity_search": q_similarity_search,
         "cosine_topk": q_cosine_topk,
         "top_customers": q_top_customers,
@@ -748,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "repetition_stats": text_ops.repetition_stats_sql(),
         "dup_span_stats": dedup_ops.dup_span_stats_sql(window=6, min_docs=2),
+        "source_overlap_matrix": dedup_ops.source_overlap_matrix_sql(n=3),
         "pii_scrub_stats": (
             lambda ex: (
                 f"SELECT source, CAST(sum({ex['n_pii_email']}) AS BIGINT) AS emails,"

@@ -332,6 +332,19 @@ def main() -> None:
         queries["dup_span_stats_docs"] = sec
         samples["dup_span_stats_docs"] = ss
 
+        def run_source_overlap():
+            # cross-source n-gram overlap matrix; sum the computed
+            # columns so neither side of the self-join can be pruned
+            return (
+                dedup_ops.source_overlap_matrix(docs, n=3)
+                .agg(F.sum("n_common"), F.sum("jaccard"))
+                .first()
+            )
+
+        sec, ss, _ = timed_best2(run_source_overlap)
+        queries["source_overlap_docs"] = sec
+        samples["source_overlap_docs"] = ss
+
         sec, ss, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )

@@ -1069,3 +1069,92 @@ def filter_dup_spans(docs: DataFrame, max_dup_frac: float = 0.5,
     return docs.join(
         offenders, docs[id_col].cast("string") == offenders["_off_id"], "left_anti"
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (leakage audit)
+# --------------------------------------------------------------------------
+
+def source_overlap_matrix(docs: DataFrame, n: int = 3, text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Pairwise n-gram overlap between sources: the train/eval leakage
+    audit. One row per source pair (source_a < source_b) with the shared
+    distinct-gram count, each side's distinct-gram count, and Jaccard.
+
+    Scale posture (100 TB): distinct (source, gram) is reduced to
+    (source, xxhash64 fingerprint) BEFORE the distinct shuffle, so both
+    the dedup and the self-join move 8-byte keys; join fan-out per
+    fingerprint is bounded by the number of sources holding it (k), so
+    the worst gram costs k^2 rows — no skew beyond k. For corpora where
+    even distinct fingerprints per source are too hot, the sketch path
+    is `sql_sketch.hll_registers_sql` grouped by source + pairwise
+    union estimates (set_ops) — this exact form is the audit/oracle.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    doc = docs.select(F.col(source_col).cast("string").alias("source"),
+                      words.alias("w"))
+    idxs = F.when(
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    g = doc.select(
+        "source",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, n))),
+            )
+        ).alias("fp"),
+    ).distinct()
+    sizes = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("ga"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("gb"))
+    return (
+        inter.join(sa, "source_a").join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_common", "ga", "gb",
+            F.round(F.col("n_common") / (F.col("ga") + F.col("gb") - F.col("n_common")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_matrix_sql(n: int = 3,
+                              source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of source_overlap_matrix — groups raw gram
+    text (no fingerprints), so an xxhash64 collision on the Spark side
+    would surface as a gate mismatch."""
+    return f"""
+WITH words AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM ({source_sql})
+),
+grams AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT source, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+    FROM words WHERE len(w) >= {n}
+  )
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common, sa.n_grams AS ga, sb.n_grams AS gb,
+       round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""

@@ -971,3 +971,39 @@ def test_dup_span_partition_invariant(docs_small):
     b = b.sort_values("doc_id").reset_index(drop=True)
     import pandas.testing as pdt
     pdt.assert_frame_equal(a, b)
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        ("1", "alpha beta gamma delta epsilon zeta", "A"),
+        ("2", "beta gamma delta foo bar baz", "B"),
+        ("3", "alpha beta gamma delta epsilon eta", "A"),
+        ("4", "nothing shared here at all folks", "C"),
+        ("5", None, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in dedup.source_overlap_matrix(df, n=2).collect()}
+    # A-grams: {alpha beta, beta gamma, gamma delta, delta epsilon,
+    #           epsilon zeta, epsilon eta} (6); B: 5; shared: beta gamma,
+    #           gamma delta (2). C shares nothing -> absent row = zero.
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["n_common"], r["ga"], r["gb"]) == (2, 6, 5)
+    assert abs(r["jaccard"] - 2 / 9) < 1e-6
+
+
+def test_source_overlap_matrix_duckdb_twin(docs_small):
+    import duckdb
+    import pandas.testing as pdt
+    docs = docs_small.limit(200)
+    got = (dedup.source_overlap_matrix(docs, n=2).toPandas()
+           .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = (con.execute(dedup.source_overlap_matrix_sql(n=2)).df()
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    for c in ("n_common", "ga", "gb"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)

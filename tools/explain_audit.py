@@ -271,6 +271,22 @@ def main() -> None:
     assert "hashpartitioning(gram" not in span_plan, (
         "dup-span shuffles raw gram strings instead of fingerprints!")
 
+    # 14. cross-source overlap matrix: distinct (source, gram) reduced to
+    # 8-byte xxhash64 fingerprints BEFORE the distinct shuffle and the
+    # self-join; no raw gram string in any Exchange, no cartesian.
+    so_plan = plan_of(dedup_ops.source_overlap_matrix(
+        docs.select("doc_id", "text", "source"), n=3))
+    sections.append((
+        "source overlap matrix (fp-keyed distinct + self-join, no gram shuffle)",
+        so_plan,
+        ["HashAggregate", "Join"],
+    ))
+    assert "CartesianProduct" not in so_plan, "source-overlap join is cartesian!"
+    assert "hashpartitioning(gram" not in so_plan, (
+        "source-overlap shuffles raw gram strings instead of fingerprints!")
+    assert "xxhash64" in so_plan, (
+        "source-overlap fingerprinting disappeared from the plan!")
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:

@@ -326,6 +326,15 @@ def fam_repetition(rng, spark, con):
     return "corpus-only", compare(got, con, sql)
 
 
+def fam_source_overlap(rng, spark, con):
+    n = rng.randint(1, 4)
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(5, 35))
+    got = dedup_ops.source_overlap_matrix(docs, n=n)
+    con.register("documents", pdf)
+    sql = dedup_ops.source_overlap_matrix_sql(n=n)
+    return f"n={n} docs={len(pdf)}", compare(got, con, sql)
+
+
 def fam_quantile_bound(rng, spark, con):
     """Distributed KLL / t-digest build on an adversarial value column;
     the rank-error-bound verdict per quantile is computed on Spark from
@@ -649,6 +658,7 @@ FAMILIES = [
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
     ("quantile_bound", fam_quantile_bound),
+    ("source_overlap", fam_source_overlap),
     ("pii_scrub", fam_pii),
     ("connected_components", fam_cc),
     ("dedup_keep_best", fam_keep_best),
