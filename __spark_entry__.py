@@ -387,6 +387,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_mixture_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: the 7 docs per source with the
+    lowest portable-md5-u01(seed|doc_id) rank. WindowGroupLimit keeps the
+    shuffle at O(partitions x k) per group; membership is value-exact vs
+    the DuckDB QUALIFY twin."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return mixing_ops.deterministic_sample_k(docs, 7, seed=3)
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontam_overlap": q_decontam_overlap,
         "mixture_sample": q_mixture_sample,
+        "mixture_sample_k": q_mixture_sample_k,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -774,6 +786,16 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": mixing_ops.deterministic_sample_sql(
             _MIX_FRACTIONS, seed=5, default_fraction=0.2,
             source_sql="SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents",
+        ),
+        "mixture_sample_k": (
+            "SELECT doc_id, source FROM ("
+            + mixing_ops.deterministic_sample_k_sql(
+                7, seed=3,
+                source_sql=(
+                    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source"
+                    " FROM documents"),
+            )
+            + ")"
         ),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(

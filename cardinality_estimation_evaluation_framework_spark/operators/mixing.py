@@ -158,3 +158,52 @@ def scrub_pii_sql(text_col: str = "text") -> dict[str, str]:
         )
     exprs["scrubbed"] = scrubbed
     return exprs
+
+
+def deterministic_sample_k(df: DataFrame, k: int,
+                           group_col: str = "source",
+                           id_col: str = "doc_id",
+                           seed: int = 0) -> DataFrame:
+    """Keep exactly min(k, |group|) rows per group: the k rows whose
+    portable u01(seed || id) rank lowest (ties broken by id). A uniform
+    without-replacement sample that, like :func:`deterministic_sample`,
+    is a pure function of (seed, id) — identical under any partitioning,
+    any run, and reproducible by the DuckDB twin value-for-value.
+
+    Scale posture (100 TB): the rank filter sits directly above the
+    window, so Catalyst rewrites it to WindowGroupLimit (Spark 3.5+) —
+    each map task keeps only its local top-k per group BEFORE the
+    shuffle, so at most (#partitions x k) rows per group ever move; the
+    plan audit asserts the WindowGroupLimit node. Hot groups therefore
+    cost O(k) per task, not O(|group| log |group|) at the reducer.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = _u01(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = (Window.partitionBy(F.col(group_col).cast("string"))
+         .orderBy(u.asc(), F.col(id_col).cast("string").asc()))
+    return (
+        df.withColumn("_sk_rn", F.row_number().over(w))
+        .where(F.col("_sk_rn") <= k)
+        .drop("_sk_rn")
+    )
+
+
+def deterministic_sample_k_sql(k: int,
+                               group_col: str = "source",
+                               id_col: str = "doc_id",
+                               seed: int = 0,
+                               source_sql: str = "SELECT * FROM documents",
+                               ) -> str:
+    """DuckDB twin of :func:`deterministic_sample_k` (same kept rows —
+    the u01 rank is an exactly-representable 53-bit double on both
+    sides, so the orderings agree bit-for-bit)."""
+    u = _u01_duckdb(f"'{seed}|' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT * FROM ({source_sql})
+QUALIFY row_number() OVER (
+  PARTITION BY CAST({group_col} AS VARCHAR)
+  ORDER BY {u}, CAST({id_col} AS VARCHAR)) <= {int(k)}
+"""

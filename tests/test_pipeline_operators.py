@@ -1007,3 +1007,42 @@ def test_source_overlap_matrix_duckdb_twin(docs_small):
         got[c] = got[c].astype("int64")
         want[c] = want[c].astype("int64")
     pdt.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_deterministic_sample_k(docs_small):
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing,
+    )
+
+    docs = docs_small.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    a = mixing.deterministic_sample_k(docs, 5, seed=11)
+    ids_a = sorted((r["source"], r["doc_id"]) for r in a.collect())
+    # exactly min(k, |group|) per group
+    per_group = {r["source"]: r["n"] for r in
+                 a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_group == {g: min(5, n) for g, n in totals.items() if n}
+    # partition-invariant and seed-sensitive
+    ids_b = sorted((r["source"], r["doc_id"]) for r in
+                   mixing.deterministic_sample_k(
+                       docs.repartition(13), 5, seed=11).collect())
+    assert ids_a == ids_b
+    ids_c = sorted((r["source"], r["doc_id"]) for r in
+                   mixing.deterministic_sample_k(docs, 5, seed=12).collect())
+    assert ids_a != ids_c
+    # value-exact vs DuckDB twin
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(map(tuple, con.sql(
+        "SELECT source, doc_id FROM ("
+        + mixing.deterministic_sample_k_sql(5, seed=11) + ")").fetchall()))
+    assert ids_a == [(str(s), str(d)) for s, d in want]
+    # tiny k and bad k
+    one = mixing.deterministic_sample_k(docs, 1, seed=11)
+    assert one.count() == len(totals)
+    with pytest.raises(ValueError):
+        mixing.deterministic_sample_k(docs, 0)

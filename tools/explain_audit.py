@@ -287,6 +287,21 @@ def main() -> None:
     assert "xxhash64" in so_plan, (
         "source-overlap fingerprinting disappeared from the plan!")
 
+    # 15. deterministic k-per-group sample: the rank filter must be
+    # rewritten to WindowGroupLimit (partial per-partition top-k BEFORE
+    # the shuffle) — without it a hot group pays a full reducer-side
+    # sort of O(|group|) rows instead of O(partitions x k).
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        mixing as mixing_ops,
+    )
+    sk_plan = plan_of(mixing_ops.deterministic_sample_k(
+        docs.select("doc_id", "source"), 7, seed=3))
+    sections.append((
+        "deterministic k-per-group sample (WindowGroupLimit partial top-k)",
+        sk_plan,
+        ["WindowGroupLimit", "Window"],
+    ))
+
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for title, plan, expects in sections:

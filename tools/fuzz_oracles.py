@@ -286,6 +286,20 @@ def fam_sample(rng, spark, con):
             f"default={default}"), compare(got, con, sql)
 
 
+def fam_sample_k(rng, spark, con):
+    k = rng.choice([1, 2, 5, 9])
+    seed = rng.randrange(0, 10**6)
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 40))
+    docs = docs.select("doc_id", "source")
+    got = mixing_ops.deterministic_sample_k(docs, k, seed=seed)
+    con.register("documents", pdf[["doc_id", "source"]])
+    sql = ("SELECT doc_id, source FROM ("
+           + mixing_ops.deterministic_sample_k_sql(
+               k, seed=seed, source_sql="SELECT doc_id, source FROM documents")
+           + ")")
+    return f"k={k} seed={seed} docs={len(pdf)}", compare(got, con, sql)
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -653,6 +667,7 @@ FAMILIES = [
     ("ngram_jaccard", fam_jaccard),
     ("decontam_exact", fam_decontam),
     ("deterministic_sample", fam_sample),
+    ("sample_k", fam_sample_k),
     ("text_stats", fam_textstats),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
