@@ -398,6 +398,13 @@ def q_mixture_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_ops.deterministic_sample_k(docs, 7, seed=3)
 
 
+def q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence + total-variation distance vs the
+    corpus distribution (training-mixture drift audit); absent-token TVD
+    mass folded algebraically so one join pass suffices."""
+    return text_ops.unigram_drift(_docs(spark, sf_dir))
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -593,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "mixture_sample": q_mixture_sample,
         "mixture_sample_k": q_mixture_sample_k,
+        "unigram_drift": q_unigram_drift,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -797,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "unigram_drift": text_ops.unigram_drift_sql(),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(
                 threshold=0.5, num_hashes=64, bands=16,

@@ -345,6 +345,24 @@ def main() -> None:
         queries["source_overlap_docs"] = sec
         samples["source_overlap_docs"] = ss
 
+        def run_unigram_drift():
+            # per-source KL/TVD drift audit; sum the computed columns so
+            # the vocabulary join cannot be pruned from the plan
+            from cardinality_estimation_evaluation_framework_spark.operators import (
+                text as text_ops,
+            )
+
+            return (
+                text_ops.unigram_drift(docs)
+                .agg(F.sum("kl_to_corpus"), F.sum("tvd_to_corpus"),
+                     F.sum("n_distinct"))
+                .first()
+            )
+
+        sec, ss, _ = timed_best2(run_unigram_drift)
+        queries["unigram_drift_docs"] = sec
+        samples["unigram_drift_docs"] = ss
+
         sec, ss, _ = timed_best2(
             lambda: tok_items.agg(F.approx_count_distinct("item", 0.01)).collect()
         )

@@ -366,3 +366,89 @@ SELECT w.doc_id, w.word_rep_frac,
        w.dup_line_frac, w.dup_para_frac
 FROM wstats w {' '.join(gram_joins)}
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source unigram distribution drift (mixture audit)
+# --------------------------------------------------------------------------
+
+def unigram_drift(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus: KL
+    divergence KL(p_source || p_corpus) and total-variation distance,
+    plus token totals. The training-mixture audit: a source whose drift
+    jumps between crawls (or dwarfs its peers') changed its content mix.
+
+    TVD counts tokens ABSENT from the source too: for those |p - q| = q,
+    and sum(q over absent tokens) = 1 - sum(q over present tokens), so
+    the whole statistic folds into the per-source join — no second pass.
+    KL needs no smoothing because q(t) > 0 wherever p(t) > 0 (the corpus
+    contains every source's tokens by construction).
+
+    Scale posture (100 TB): one explode feeding a two-level (source,
+    tok) HashAggregate (map-side combine), a vocabulary-keyed shuffle
+    join of (source, tok) counts against tok totals — skew bounded by
+    #sources per token — and broadcasts for the #sources-row totals and
+    the 1-row corpus total. No collect, no window, no Python.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    toks = docs.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.explode(words).alias("tok"),
+    )
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    tot = per.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    glob = per.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    big_n = glob.agg(F.sum("c_t").alias("n_corpus"))
+    j = (
+        per.join(glob, "tok")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(big_n))
+    )
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n_corpus")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"),
+            F.round(
+                0.5 * (F.sum(F.abs(p - q)) + 1 - F.sum(q)), 6
+            ).alias("tvd_to_corpus"),
+        )
+    )
+
+
+def unigram_drift_sql(text_col: str = "text", source_col: str = "source",
+                      source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`unigram_drift` (same tokenization, same
+    fold of the absent-token TVD mass)."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(w) AS tok FROM (
+    SELECT CAST({source_col} AS VARCHAR) AS source,
+           list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM ({source_sql})
+  )
+),
+per AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, sum(c_st) AS n_s FROM per GROUP BY 1),
+gtot AS (SELECT tok, sum(c_st) AS c_t FROM per GROUP BY 1),
+big AS (SELECT sum(c_t) AS n_corpus FROM gtot)
+SELECT p.source,
+       CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum((c_st / t.n_s) * ln((c_st / t.n_s) / (c_t / b.n_corpus))),
+             6) AS kl_to_corpus,
+       round(0.5 * (sum(abs(c_st / t.n_s - c_t / b.n_corpus))
+                    + 1 - sum(c_t / b.n_corpus)), 6) AS tvd_to_corpus
+FROM per p
+JOIN tot t USING (source)
+JOIN gtot g USING (tok)
+CROSS JOIN big b
+GROUP BY p.source
+"""

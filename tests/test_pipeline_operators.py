@@ -1046,3 +1046,34 @@ def test_deterministic_sample_k(docs_small):
     assert one.count() == len(totals)
     with pytest.raises(ValueError):
         mixing.deterministic_sample_k(docs, 0)
+
+
+def test_unigram_drift_hand_case(spark):
+    import math
+    rows = [("1", "a a b", "A"), ("2", "b b", "B"), ("3", None, "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r["source"]: r for r in text.unigram_drift(df).collect()}
+    # corpus: a:2 b:3 (N=5). A: p=(2/3,1/3); B: p(b)=1.
+    a, b = out["A"], out["B"]
+    assert (a["n_tokens"], a["n_distinct"]) == (3, 2)
+    assert (b["n_tokens"], b["n_distinct"]) == (2, 1)
+    kl_a = 2 / 3 * math.log((2 / 3) / (2 / 5)) + 1 / 3 * math.log((1 / 3) / (3 / 5))
+    assert abs(a["kl_to_corpus"] - kl_a) < 1e-6
+    assert abs(a["tvd_to_corpus"] - 4 / 15) < 1e-6
+    assert abs(b["kl_to_corpus"] - math.log(5 / 3)) < 1e-6
+    assert abs(b["tvd_to_corpus"] - 2 / 5) < 1e-6
+
+
+def test_unigram_drift_duckdb_twin(docs_small):
+    import duckdb
+    import pandas.testing as pdt
+    got = (text.unigram_drift(docs_small).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs_small.toPandas())
+    want = (con.execute(text.unigram_drift_sql()).df()
+            .sort_values("source").reset_index(drop=True))
+    for c in ("n_tokens", "n_distinct"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=0)

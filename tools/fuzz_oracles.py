@@ -300,6 +300,13 @@ def fam_sample_k(rng, spark, con):
     return f"k={k} seed={seed} docs={len(pdf)}", compare(got, con, sql)
 
 
+def fam_unigram_drift(rng, spark, con):
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 40))
+    got = text_ops.unigram_drift(docs)
+    con.register("documents", pdf)
+    return f"docs={len(pdf)}", compare(got, con, text_ops.unigram_drift_sql())
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -669,6 +676,7 @@ FAMILIES = [
     ("deterministic_sample", fam_sample),
     ("sample_k", fam_sample_k),
     ("text_stats", fam_textstats),
+    ("unigram_drift", fam_unigram_drift),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
