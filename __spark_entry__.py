@@ -405,6 +405,13 @@ def q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_drift(_docs(spark, sf_dir))
 
 
+def q_self_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean self-information (bits/token) under the corpus
+    unigram LM — the perplexity-proxy quality signal; (doc, tok) counts
+    pre-aggregated before the vocabulary join."""
+    return text_ops.with_self_information(_docs(spark, sf_dir))
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -601,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "mixture_sample_k": q_mixture_sample_k,
         "unigram_drift": q_unigram_drift,
+        "self_information": q_self_information,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -806,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "unigram_drift": text_ops.unigram_drift_sql(),
+        "self_information": text_ops.self_information_sql(),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(
                 threshold=0.5, num_hashes=64, bands=16,

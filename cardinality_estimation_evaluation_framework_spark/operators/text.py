@@ -452,3 +452,66 @@ JOIN gtot g USING (tok)
 CROSS JOIN big b
 GROUP BY p.source
 """
+
+
+def with_self_information(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean self-information (bits/token) under the corpus
+    unigram LM — the cheap perplexity proxy used as a quality-filter
+    signal: boilerplate and template text scores low, gibberish and
+    rare-token soup scores high. Output: (doc_id, n_tok,
+    self_info_bits); docs with zero tokens are absent (no tokens, no
+    distribution).
+
+    Scale posture (100 TB): occurrences are pre-aggregated to
+    (doc, tok) counts before the vocabulary join, so the join moves one
+    row per distinct token per doc, not one per occurrence; corpus
+    token totals shuffle on tok (skew = a token's doc spread, the same
+    bound as any vocabulary agg) and the 1-row corpus total broadcasts.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(words).alias("tok"),
+    )
+    per = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c_dt"))
+    gtot = per.groupBy("tok").agg(F.sum("c_dt").alias("c_t"))
+    big_n = gtot.agg(F.sum("c_t").alias("n_corpus"))
+    nll = -F.log2(F.col("c_t") / F.col("n_corpus"))
+    return (
+        per.join(gtot, "tok")
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tok"),
+            F.round(
+                F.sum(F.col("c_dt") * nll) / F.sum("c_dt"), 6
+            ).alias("self_info_bits"),
+        )
+    )
+
+
+def self_information_sql(text_col: str = "text", id_col: str = "doc_id",
+                         source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`with_self_information`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM (
+    SELECT CAST({id_col} AS VARCHAR) AS doc_id,
+           list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM ({source_sql})
+  )
+),
+per AS (SELECT doc_id, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+gtot AS (SELECT tok, sum(c_dt) AS c_t FROM per GROUP BY 1),
+big AS (SELECT sum(c_t) AS n_corpus FROM gtot)
+SELECT doc_id,
+       CAST(sum(c_dt) AS BIGINT) AS n_tok,
+       round(sum(c_dt * (-log2(c_t / b.n_corpus))) / sum(c_dt),
+             6) AS self_info_bits
+FROM per JOIN gtot USING (tok) CROSS JOIN big b
+GROUP BY doc_id
+"""

@@ -1077,3 +1077,31 @@ def test_unigram_drift_duckdb_twin(docs_small):
         got[c] = got[c].astype("int64")
         want[c] = want[c].astype("int64")
     pdt.assert_frame_equal(got, want, check_dtype=False, atol=0)
+
+
+def test_self_information_hand_case(spark):
+    import math
+    rows = [("1", "a a b", "A"), ("2", "b b", "B"), ("3", "", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r["doc_id"]: r for r in text.with_self_information(df).collect()}
+    # corpus: a:2 b:3 (N=5); q(a)=0.4, q(b)=0.6. Empty doc 3 is absent.
+    assert set(out) == {"1", "2"}
+    bits_a, bits_b = -math.log2(0.4), -math.log2(0.6)
+    assert out["1"]["n_tok"] == 3
+    assert abs(out["1"]["self_info_bits"] - (2 * bits_a + bits_b) / 3) < 1e-6
+    assert out["2"]["n_tok"] == 2
+    assert abs(out["2"]["self_info_bits"] - bits_b) < 1e-6
+
+
+def test_self_information_duckdb_twin(docs_small):
+    import duckdb
+    import pandas.testing as pdt
+    got = (text.with_self_information(docs_small).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs_small.toPandas())
+    want = (con.execute(text.self_information_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    got["n_tok"] = got["n_tok"].astype("int64")
+    want["n_tok"] = want["n_tok"].astype("int64")
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=0)

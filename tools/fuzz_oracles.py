@@ -307,6 +307,13 @@ def fam_unigram_drift(rng, spark, con):
     return f"docs={len(pdf)}", compare(got, con, text_ops.unigram_drift_sql())
 
 
+def fam_self_info(rng, spark, con):
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 40))
+    got = text_ops.with_self_information(docs)
+    con.register("documents", pdf)
+    return f"docs={len(pdf)}", compare(got, con, text_ops.self_information_sql())
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -677,6 +684,7 @@ FAMILIES = [
     ("sample_k", fam_sample_k),
     ("text_stats", fam_textstats),
     ("unigram_drift", fam_unigram_drift),
+    ("self_information", fam_self_info),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
