@@ -412,6 +412,13 @@ def q_self_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.with_self_information(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: leftmost window-min over
+    portable 53-bit gram hashes; one Catalyst expression chain per row,
+    single distinct shuffle."""
+    return text_ops.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -609,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_k": q_mixture_sample_k,
         "unigram_drift": q_unigram_drift,
         "self_information": q_self_information,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -815,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_drift": text_ops.unigram_drift_sql(),
         "self_information": text_ops.self_information_sql(),
+        "winnow_fingerprints": text_ops.winnow_fingerprints_sql(k=3, w=4),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(
                 threshold=0.5, num_hashes=64, bands=16,

@@ -1105,3 +1105,65 @@ def test_self_information_duckdb_twin(docs_small):
     got["n_tok"] = got["n_tok"].astype("int64")
     want["n_tok"] = want["n_tok"].astype("int64")
     pdt.assert_frame_equal(got, want, check_dtype=False, atol=0)
+
+
+def _winnow_brute(texts, k, w):
+    """Pure-Python winnowing reference (leftmost-min rule)."""
+    import hashlib
+    import re
+    out = set()
+    for doc_id, txt in texts:
+        if txt is None:
+            continue
+        wd = [x for x in re.split("[^a-z0-9]+", txt.lower()) if x]
+        if len(wd) < k:
+            continue
+        hs = [
+            int.from_bytes(
+                hashlib.md5(" ".join(wd[i:i + k]).encode()).digest()[:8],
+                "big") >> 11
+            for i in range(len(wd) - k + 1)
+        ]
+        wl = min(w, len(hs))
+        for j in range(len(hs) - wl + 1):
+            win = hs[j:j + wl]
+            m = min(win)
+            out.add((doc_id, j + win.index(m) + 1, m))
+    return out
+
+
+def test_winnow_fingerprints_brute_and_twin(spark):
+    import duckdb
+    import pandas as pd
+    rows = [("1", "a b c d e f g h i j", "A"), ("2", "x y z", "A"),
+            ("3", "a b c", "B"), ("4", "one two", "B"), ("5", None, "B"),
+            ("6", "a b c d e f g h i j", "B"),
+            ("7", "t t t t t t t", "B")]  # all-equal hashes: tie rule
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    for k, w in [(3, 4), (1, 1), (2, 6), (4, 2)]:
+        got = {tuple(r) for r in text.winnow_fingerprints(df, k=k, w=w).collect()}
+        assert got == _winnow_brute([(d, t) for d, t, _ in rows], k, w), (k, w)
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+        want = {tuple(r) for r in
+                con.execute(text.winnow_fingerprints_sql(k=k, w=w)).fetchall()}
+        assert got == want, (k, w)
+    # identical docs produce identical fingerprint sets
+    g = {tuple(r) for r in text.winnow_fingerprints(df, k=3, w=4).collect()}
+    assert {(p, f) for d, p, f in g if d == "1"} == \
+           {(p, f) for d, p, f in g if d == "6"}
+    with pytest.raises(ValueError):
+        text.winnow_fingerprints(df, k=0, w=4)
+
+
+def test_winnow_match_guarantee(spark):
+    # any shared run of >= k+w-1 words must share a fingerprint
+    k, w = 3, 4
+    shared = "q w e r t y u i o p"  # 10 words >= k+w-1 = 6
+    rows = [("1", "aa bb cc " + shared + " dd", "A"),
+            ("2", shared + " zz xx", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    got = text.winnow_fingerprints(df, k=k, w=w).collect()
+    fps1 = {r["fp"] for r in got if r["doc_id"] == "1"}
+    fps2 = {r["fp"] for r in got if r["doc_id"] == "2"}
+    assert fps1 & fps2

@@ -24,6 +24,7 @@ from cardinality_estimation_evaluation_framework_spark.datagen import tokens as 
 from cardinality_estimation_evaluation_framework_spark.operators import (
     aggregate as agg,
     dedup as dedup_ops,
+    text as text_ops,
 )
 from cardinality_estimation_evaluation_framework_spark.session import get_spark
 from cardinality_estimation_evaluation_framework_spark.sketches.hll import HllKernel
@@ -301,6 +302,21 @@ def main() -> None:
         sk_plan,
         ["WindowGroupLimit", "Window"],
     ))
+
+    # 17. winnowing fingerprints: the whole selection is a per-row
+    # Catalyst expression chain — no join, no window function; the ONLY
+    # shuffle is the final distinct.
+    wn_plan = plan_of(text_ops.winnow_fingerprints(ddocs, k=3, w=4))
+    sections.append((
+        "winnowing fingerprints (per-row expression chain; single distinct shuffle)",
+        wn_plan,
+        ["HashAggregate", "Generate"],
+    ))
+    wn_tree = tree_of(wn_plan)
+    assert "Join" not in wn_tree, "winnowing grew a join!"
+    assert "Window" not in wn_tree, "winnowing grew a window function!"
+    n_ex = wn_tree.count("Exchange")
+    assert n_ex == 1, f"winnowing should shuffle once (distinct), found {n_ex}"
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True

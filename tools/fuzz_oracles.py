@@ -314,6 +314,16 @@ def fam_self_info(rng, spark, con):
     return f"docs={len(pdf)}", compare(got, con, text_ops.self_information_sql())
 
 
+def fam_winnow(rng, spark, con):
+    k = rng.randint(1, 4)
+    w = rng.randint(1, 6)
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 30))
+    got = text_ops.winnow_fingerprints(docs, k=k, w=w)
+    con.register("documents", pdf)
+    sql = text_ops.winnow_fingerprints_sql(k=k, w=w)
+    return f"k={k} w={w} docs={len(pdf)}", compare(got, con, sql)
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -685,6 +695,7 @@ FAMILIES = [
     ("text_stats", fam_textstats),
     ("unigram_drift", fam_unigram_drift),
     ("self_information", fam_self_info),
+    ("winnow", fam_winnow),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
