@@ -419,6 +419,13 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
 
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs: docs sharing >= 2 distinct winnowing
+    fingerprints, hot fingerprints capped before the self-join."""
+    return dedup_ops.winnow_near_dup_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=2)
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -617,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_drift": q_unigram_drift,
         "self_information": q_self_information,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dup": q_winnow_near_dup,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -824,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_drift": text_ops.unigram_drift_sql(),
         "self_information": text_ops.self_information_sql(),
         "winnow_fingerprints": text_ops.winnow_fingerprints_sql(k=3, w=4),
+        "winnow_near_dup": dedup_ops.winnow_near_dup_pairs_sql(k=3, w=4, min_shared=2),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(
                 threshold=0.5, num_hashes=64, bands=16,

@@ -1158,3 +1158,68 @@ FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
 """
+
+
+# --------------------------------------------------------------------------
+# Winnowing near-dup pairs (MOSS-style fingerprint overlap)
+# --------------------------------------------------------------------------
+
+def winnow_near_dup_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                          min_shared: int = 2,
+                          max_bucket_size: int = 100_000,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate candidate pairs via shared winnowing fingerprints
+    (the MOSS detector): docs sharing >= ``min_shared`` distinct
+    fingerprints, with the shared count. Deterministic — no banding
+    randomness — and carries winnowing's guarantee: any pair sharing a
+    run of >= k+w-1 words shares at least one fingerprint.
+
+    Scale posture (100 TB): identical to the LSH candidate joins —
+    distinct (doc, fp) shuffles on 8-byte fps, degenerate hot
+    fingerprints (boilerplate) dropped by :func:`_cap_hot_buckets`
+    before the self-join so a fingerprint shared by H docs costs at
+    most min(H, cap)^2 pairs.
+    """
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = _cap_hot_buckets(fps, ["fp"], max_bucket_size)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_near_dup_pairs_sql(k: int = 3, w: int = 4, min_shared: int = 2,
+                              max_bucket_size: int = 100_000,
+                              source_sql: str = "SELECT * FROM documents",
+                              ) -> str:
+    """DuckDB twin of :func:`winnow_near_dup_pairs` (same cap rule)."""
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fingerprints_sql,
+    )
+
+    inner = winnow_fingerprints_sql(k=k, w=w, source_sql=source_sql)
+    return f"""
+WITH fps AS (SELECT DISTINCT doc_id, fp FROM ({inner})),
+sizes AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN sizes USING (fp)
+         WHERE c <= {int(max_bucket_size)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_shared)}
+"""

@@ -1167,3 +1167,30 @@ def test_winnow_match_guarantee(spark):
     fps1 = {r["fp"] for r in got if r["doc_id"] == "1"}
     fps2 = {r["fp"] for r in got if r["doc_id"] == "2"}
     assert fps1 & fps2
+
+
+def test_winnow_near_dup_pairs(spark):
+    import duckdb
+    import pandas as pd
+    shared = "q w e r t y u i o p a s d f"
+    rows = [("1", "aa bb cc " + shared, "A"),
+            ("2", shared + " zz xx", "B"),
+            ("3", "totally different words here folks indeed", "A"),
+            ("4", None, "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = dedup.winnow_near_dup_pairs(df, k=3, w=4, min_shared=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [("1", "2")]
+    assert out[0]["n_shared"] >= 2
+    # DuckDB twin, incl. a tight cap that drops a hot fingerprint
+    for cap in (100_000, 1):
+        got = sorted(map(tuple, dedup.winnow_near_dup_pairs(
+            df, k=3, w=4, min_shared=1, max_bucket_size=cap).collect()))
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            rows, columns=["doc_id", "text", "source"]))
+        want = sorted(map(tuple, con.execute(dedup.winnow_near_dup_pairs_sql(
+            k=3, w=4, min_shared=1, max_bucket_size=cap)).fetchall()))
+        assert got == want, cap
+    # cap=1 drops every shared fingerprint -> no pairs at all
+    assert dedup.winnow_near_dup_pairs(
+        df, k=3, w=4, min_shared=1, max_bucket_size=1).count() == 0

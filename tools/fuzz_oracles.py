@@ -324,6 +324,20 @@ def fam_winnow(rng, spark, con):
     return f"k={k} w={w} docs={len(pdf)}", compare(got, con, sql)
 
 
+def fam_winnow_pairs(rng, spark, con):
+    k = rng.randint(1, 3)
+    w = rng.randint(1, 5)
+    ms = rng.randint(1, 3)
+    cap = rng.choice([2, 5, 100000])
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(6, 30))
+    got = dedup_ops.winnow_near_dup_pairs(
+        docs, k=k, w=w, min_shared=ms, max_bucket_size=cap)
+    con.register("documents", pdf)
+    sql = dedup_ops.winnow_near_dup_pairs_sql(
+        k=k, w=w, min_shared=ms, max_bucket_size=cap)
+    return f"k={k} w={w} ms={ms} cap={cap} docs={len(pdf)}", compare(got, con, sql)
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -696,6 +710,7 @@ FAMILIES = [
     ("unigram_drift", fam_unigram_drift),
     ("self_information", fam_self_info),
     ("winnow", fam_winnow),
+    ("winnow_pairs", fam_winnow_pairs),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
