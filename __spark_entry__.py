@@ -426,6 +426,12 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (OLS on ln freq vs ln rank, deterministic
+    ranks) — vocabulary-health audit; near -1 for natural text."""
+    return text_ops.zipf_slope_by_source(_docs(spark, sf_dir))
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over docs with deterministically PLANTED pii (every
     doc_id % 31 == 0 gains an email+phone+ip suffix — the same suffix the
@@ -625,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_information": q_self_information,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "zipf_slope": q_zipf_slope,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -833,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "self_information": text_ops.self_information_sql(),
         "winnow_fingerprints": text_ops.winnow_fingerprints_sql(k=3, w=4),
         "winnow_near_dup": dedup_ops.winnow_near_dup_pairs_sql(k=3, w=4, min_shared=2),
+        "zipf_slope": text_ops.zipf_slope_sql(),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(
                 threshold=0.5, num_hashes=64, bands=16,

@@ -632,3 +632,83 @@ SELECT DISTINCT doc_id,
        list_min(hs[j:j + wl - 1]) AS fp
 FROM win
 """
+
+
+def zipf_slope_by_source(docs: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Per-source Zipf slope: OLS fit of ln(freq) against ln(rank) over
+    the source's token frequency table (rank 1 = most frequent;
+    deterministic tie-break freq DESC, token ASC). Healthy natural text
+    sits near -1; template/boilerplate-heavy sources flatten, random-id
+    soup steepens — a cheap vocabulary-health audit per source.
+    Sources with < 2 distinct tokens are absent (a slope needs 2
+    points).
+
+    Scale posture (100 TB): the rank is a per-source window sort over
+    the source's VOCABULARY (distinct tokens, not occurrences) — the
+    same size class as any per-group top-k over terms; everything else
+    is the usual explode + two-level aggregate. The OLS moments fold in
+    the same aggregate that counts terms, so one pass after ranking.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.explode(words).alias("tok"),
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("tok").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+        )
+        .where(F.col("n_terms") >= 2)
+        .select(
+            "source", "n_terms",
+            F.round(
+                (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("n_terms"))
+                / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n_terms")),
+                6,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+def zipf_slope_sql(text_col: str = "text", source_col: str = "source",
+                   source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`zipf_slope_by_source` (same deterministic
+    rank tie-break and the same OLS-moment formula)."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(w) AS tok FROM (
+    SELECT CAST({source_col} AS VARCHAR) AS source,
+           list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM ({source_sql})
+  )
+),
+freq AS (SELECT source, tok, count(*) AS freq FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, ln(CAST(row_number() OVER (
+           PARTITION BY source ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM freq
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round((sum(x * y) - sum(x) * sum(y) / count(*))
+             / (sum(x * x) - sum(x) * sum(x) / count(*)), 6) AS zipf_slope
+FROM ranked
+GROUP BY source
+HAVING count(*) >= 2
+"""

@@ -1194,3 +1194,37 @@ def test_winnow_near_dup_pairs(spark):
     # cap=1 drops every shared fingerprint -> no pairs at all
     assert dedup.winnow_near_dup_pairs(
         df, k=3, w=4, min_shared=1, max_bucket_size=1).count() == 0
+
+
+def test_zipf_slope(spark):
+    import math
+    # source A: freqs 4,2,1 (tokens a,b,c) -> exact OLS by hand;
+    # source B: single token -> absent (needs 2 points)
+    rows = [("1", "a a a a b b c", "A"), ("2", "solo solo solo", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r["source"]: r for r in text.zipf_slope_by_source(df).collect()}
+    assert set(out) == {"A"}
+    xs = [math.log(1), math.log(2), math.log(3)]
+    ys = [math.log(4), math.log(2), math.log(1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert out["A"]["n_terms"] == 3
+    assert abs(out["A"]["zipf_slope"] - slope) < 1e-6
+    assert out["A"]["zipf_slope"] < 0
+
+
+def test_zipf_slope_duckdb_twin(docs_small):
+    import duckdb
+    import pandas.testing as pdt
+    got = (text.zipf_slope_by_source(docs_small).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs_small.toPandas())
+    want = (con.execute(text.zipf_slope_sql()).df()
+            .sort_values("source").reset_index(drop=True))
+    got["n_terms"] = got["n_terms"].astype("int64")
+    want["n_terms"] = want["n_terms"].astype("int64")
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=0)

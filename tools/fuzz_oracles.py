@@ -338,6 +338,13 @@ def fam_winnow_pairs(rng, spark, con):
     return f"k={k} w={w} ms={ms} cap={cap} docs={len(pdf)}", compare(got, con, sql)
 
 
+def fam_zipf(rng, spark, con):
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 40))
+    got = text_ops.zipf_slope_by_source(docs)
+    con.register("documents", pdf)
+    return f"docs={len(pdf)}", compare(got, con, text_ops.zipf_slope_sql())
+
+
 def fam_textstats(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=30)
     got = text_ops.with_token_counts(
@@ -711,6 +718,7 @@ FAMILIES = [
     ("self_information", fam_self_info),
     ("winnow", fam_winnow),
     ("winnow_pairs", fam_winnow_pairs),
+    ("zipf_slope", fam_zipf),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
     ("dup_span", fam_dup_span),
