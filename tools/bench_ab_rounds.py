@@ -55,7 +55,15 @@ def main() -> int:
         )
     runs: dict[str, list[dict]] = {"base": [], "head": []}
     for i in range(pairs):
-        for tag, cwd in (("base", wt), ("head", REPO)):
+        # alternate within-round order: a fixed base-then-head order lets
+        # any systematic second-process penalty (page reclaim of the
+        # previous 10GB+ JVM, allocator warm state) masquerade as a head
+        # regression — observed concretely: with fixed order, UNCHANGED
+        # early queries read 1.2-2.4x "slower" on head across all rounds
+        # while the zero-repo-code control read FASTER on head
+        order = (("base", wt), ("head", REPO)) if i % 2 == 0 else (
+            ("head", REPO), ("base", wt))
+        for tag, cwd in order:
             r = run_bench(cwd, sf_dir)
             runs[tag].append(r)
             print(f"round {i} {tag}: total={r['value']}s "
