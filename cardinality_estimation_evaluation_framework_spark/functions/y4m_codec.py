@@ -21,15 +21,20 @@ import numpy as np
 
 Y4M_MAGIC = b"YUV4MPEG2 "
 
-# chroma bytes per frame as a fraction of the luma plane (num, den)
-_CHROMA_FRACTION = {
-    "mono": (0, 1),
-    "420": (1, 2),
-    "420jpeg": (1, 2),
-    "420mpeg2": (1, 2),
-    "420paldv": (1, 2),
-    "444": (2, 1),
-}
+# supported colorspaces -> chroma plane geometry. 420 chroma planes are
+# ceil-half in EACH dimension (2 * ceil(w/2) * ceil(h/2) bytes total), so
+# odd-dimension 420 streams stride correctly — luma/2 is only right for
+# even w AND h (ADVICE r5).
+_420_SPACES = frozenset({"420", "420jpeg", "420mpeg2", "420paldv"})
+_COLORSPACES = _420_SPACES | {"mono", "444"}
+
+
+def _chroma_bytes(width: int, height: int, colorspace: str) -> int:
+    if colorspace == "mono":
+        return 0
+    if colorspace == "444":
+        return 2 * width * height
+    return 2 * ((width + 1) // 2) * ((height + 1) // 2)
 
 
 def is_y4m(payload: bytes | None) -> bool:
@@ -60,16 +65,15 @@ def _parse_header(payload: bytes) -> tuple[dict, int]:
         # I (interlacing), A (aspect), X (extensions) don't affect decode
     if "width" not in params or "height" not in params:
         raise ValueError("YUV4MPEG2 header missing W or H")
-    if params["colorspace"] not in _CHROMA_FRACTION:
+    if params["colorspace"] not in _COLORSPACES:
         raise ValueError(
             f"unsupported YUV4MPEG2 colorspace C{params['colorspace']}")
     return params, nl + 1
 
 
 def _frame_bytes(params: dict) -> int:
-    luma = params["width"] * params["height"]
-    num, den = _CHROMA_FRACTION[params["colorspace"]]
-    return luma + luma * num // den
+    w, h = params["width"], params["height"]
+    return w * h + _chroma_bytes(w, h, params["colorspace"])
 
 
 def y4m_decode(payload: bytes, frame_indexes: list[int] | None = None
@@ -117,11 +121,10 @@ def y4m_encode(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1),
     standard player accepts the stream."""
     if not frames:
         raise ValueError("need at least one frame")
-    if colorspace not in _CHROMA_FRACTION:
+    if colorspace not in _COLORSPACES:
         raise ValueError(f"unsupported colorspace {colorspace}")
     h, w = frames[0].shape
-    num, den = _CHROMA_FRACTION[colorspace]
-    chroma = b"\x80" * (w * h * num // den)
+    chroma = b"\x80" * _chroma_bytes(w, h, colorspace)
     head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
     out = [head.encode("ascii")]
     for fr in frames:

@@ -132,6 +132,12 @@ def decode_video_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
     )
 
     n, _ = y4m_codec.y4m_frame_count(payload)
+    if n == 0:
+        # a header-only stream is VALID y4m but has nothing to feature-
+        # extract; raise ValueError so decode_stub converts it to the
+        # documented NotImplementedError seam instead of an IndexError
+        # surfacing raw from an executor (ADVICE r5)
+        raise ValueError("y4m stream has no frames")
     frames, _ = y4m_codec.y4m_decode(payload, frame_indexes=[n // 2])
     return y4m_codec.frame_features(frames[0], feature_dim)
 
@@ -230,8 +236,10 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, fake: bool = True
                             "environment; pass fake=True or plug a codec")
                     return y4m_codec.y4m_frame_count(b)[0]
 
-                n_frames = np.maximum(
-                    pdf["payload"].map(count).to_numpy(np.int64), 1)
+                # no clamp on the real path: a zero-frame y4m payload
+                # yields zero sampled rows (a clamped frame_index 0 would
+                # point at a frame that does not exist) (ADVICE r5)
+                n_frames = pdf["payload"].map(count).to_numpy(np.int64)
             else:
                 # vectorized fan-out: frame count per row -> repeat +
                 # ranges, no per-row Python

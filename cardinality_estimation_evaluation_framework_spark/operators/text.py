@@ -398,7 +398,23 @@ def unigram_drift(docs: DataFrame, text_col: str = "text",
         F.col(source_col).cast("string").alias("source"),
         F.explode(words).alias("tok"),
     )
-    per = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    # `per` feeds three consumers (tot, glob, the join): persist it so the
+    # explode + (source, tok) aggregation over the full corpus runs once,
+    # not three times — the same discipline minhash_dedup_pairs applies to
+    # its 3x-consumed signature table (ADVICE r5). Callers that
+    # materialize the result can release it via
+    # dedup.unpersist_intermediates.
+    from pyspark import StorageLevel
+
+    from cardinality_estimation_evaluation_framework_spark.operators.dedup import (
+        _attach_persisted,
+    )
+
+    per = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = per.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     glob = per.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     big_n = glob.agg(F.sum("c_t").alias("n_corpus"))
@@ -409,7 +425,7 @@ def unigram_drift(docs: DataFrame, text_col: str = "text",
     )
     p = F.col("c_st") / F.col("n_s")
     q = F.col("c_t") / F.col("n_corpus")
-    return (
+    out = (
         j.groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_tokens"),
@@ -420,6 +436,7 @@ def unigram_drift(docs: DataFrame, text_col: str = "text",
             ).alias("tvd_to_corpus"),
         )
     )
+    return _attach_persisted(out, [per])
 
 
 def unigram_drift_sql(text_col: str = "text", source_col: str = "source",

@@ -597,3 +597,44 @@ def test_video_decode_and_frame_sampling_real(spark):
             multimodal.MEDIA_SCHEMA,
         )
         multimodal.sample_video_frames(bad, fake=False).collect()
+
+def test_y4m_zero_frame_and_odd_dimension_420(spark):
+    import numpy as np
+    import pytest
+
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        y4m_codec,
+    )
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        multimodal,
+    )
+
+    # header-only stream: VALID y4m, zero frames
+    empty = b"YUV4MPEG2 W8 H8 F25:1 Cmono\n"
+    assert y4m_codec.y4m_frame_count(empty)[0] == 0
+    # feature decode surfaces the documented seam error, not IndexError
+    with pytest.raises(NotImplementedError, match="no frames"):
+        multimodal.decode_stub(empty, "video", fake=False)
+    # real-path frame sampling emits ZERO rows (no phantom frame 0)
+    media = spark.createDataFrame(
+        [("v0", "video", bytearray(empty), None, None, None, "y4m")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.sample_video_frames(media, fake=False).count() == 0
+
+    # odd-dimension 420: chroma is 2*ceil(w/2)*ceil(h/2), not luma/2
+    frames = [((np.arange(9 * 7).reshape(9, 7) * 3) % 251).astype(np.uint8)
+              for _ in range(3)]
+    payload = y4m_codec.y4m_encode(frames, colorspace="420jpeg")
+    got, params = y4m_codec.y4m_decode(payload)
+    assert params["n_frames"] == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+    # an externally encoded odd-dim stream (spec chroma size) also decodes:
+    # build one by hand with ceil-half chroma planes
+    w, h = 7, 9
+    chroma = b"\x11" * (2 * ((w + 1) // 2) * ((h + 1) // 2))
+    hand = (b"YUV4MPEG2 W7 H9 F25:1 C420\n"
+            + b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames))
+    got2, params2 = y4m_codec.y4m_decode(hand)
+    assert params2["n_frames"] == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, got2))
