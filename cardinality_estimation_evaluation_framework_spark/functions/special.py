@@ -62,23 +62,35 @@ def expi(x: float) -> float:
 
 
 def invert_monotonic(f, lower: float = 0.0, epsilon: float = 1e-3):
-    """Invert an increasing function by doubling probe + bisection
-    (semantics of ref: bloom_filters.py:31-53)."""
+    """Invert an increasing function by doubling probe + bisection — the
+    reference's EXACT probe/bracket sequence (ref: bloom_filters.py:31-53),
+    reproduced step for step so estimates that route through an inversion
+    (first-moment any/geo/exp) are bit-identical to the reference, not
+    merely within the bisection epsilon.
+
+    Quirk faithfully kept: the probe starts at 1 regardless of ``lower``
+    and each failed probe REPLACES the left bracket (``left = probe``),
+    so when ``lower > 1`` the bracket temporarily widens below the caller's
+    lower bound. Harmless for an increasing f (the root stays bracketed;
+    a few extra halvings), but it shifts the midpoint grid — a tighter
+    variant here made randomized-parity trials differ from the reference
+    by up to 2*epsilon (caught by tools/fuzz_parity.py, round 6)."""
     f0 = f(lower)
 
     def inversion(y: float) -> float:
         assert f0 <= y, f"inversion below domain: f({lower})={f0} > {y}"
-        left, probe = lower, max(lower, 0.0) + 1.0
+        left, probe = lower, 1.0
         while f(probe) < y:
             left = probe
             probe *= 2
         right = probe
+        mid = (right + left) / 2
         while right - left > epsilon:
-            mid = (right + left) / 2
             if f(mid) > y:
                 right = mid
             else:
                 left = mid
-        return (right + left) / 2
+            mid = (right + left) / 2
+        return mid
 
     return inversion
