@@ -654,18 +654,30 @@ FROM win
 def zipf_slope_by_source(docs: DataFrame, text_col: str = "text",
                          source_col: str = "source") -> DataFrame:
     """Per-source Zipf slope: OLS fit of ln(freq) against ln(rank) over
-    the source's token frequency table (rank 1 = most frequent;
-    deterministic tie-break freq DESC, token ASC). Healthy natural text
-    sits near -1; template/boilerplate-heavy sources flatten, random-id
-    soup steepens — a cheap vocabulary-health audit per source.
-    Sources with < 2 distinct tokens are absent (a slope needs 2
-    points).
+    the source's token frequency table (rank 1 = most frequent). Healthy
+    natural text sits near -1; template/boilerplate-heavy sources
+    flatten, random-id soup steepens — a cheap vocabulary-health audit
+    per source. Sources with < 2 distinct tokens are absent (a slope
+    needs 2 points).
 
-    Scale posture (100 TB): the rank is a per-source window sort over
-    the source's VOCABULARY (distinct tokens, not occurrences) — the
-    same size class as any per-group top-k over terms; everything else
-    is the usual explode + two-level aggregate. The OLS moments fold in
-    the same aggregate that counts terms, so one pass after ranking.
+    RANK-FREE formulation (VERDICT r5 #3): terms tied at one frequency f
+    occupy a consecutive rank block; the block collapses to its MIDRANK
+    ``c_above + (m+1)/2`` (the tie convention of rank-correlation
+    statistics), making the whole fit a pure function of the frequency
+    HISTOGRAM — no per-term rank, so no vocabulary-scale sort anywhere.
+    With no ties this is exactly the per-term rank fit; ties previously
+    took an arbitrary token-order rank anyway. One definitional edge
+    moves: a source whose terms ALL share one frequency has constant x,
+    so the slope is undefined and emits NULL (the per-term-rank
+    formulation returned 0 by fiat of its arbitrary tie order).
+
+    Scale posture (100 TB): the only window runs per source over its
+    DISTINCT FREQUENCY VALUES — at most ~sqrt(2 * n_tokens) rows (k
+    distinct frequencies sum to >= k(k+1)/2 occurrences), i.e. ~1.4M
+    rows for a 10^12-token mono-source corpus, vs ~10^9 vocabulary rows
+    for the per-term rank sort this replaces. Everything else is the
+    usual explode + two-level map-side-combined aggregate; the OLS
+    moments are m-weighted sums folded in the final per-source agg.
     """
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
@@ -677,34 +689,41 @@ def zipf_slope_by_source(docs: DataFrame, text_col: str = "text",
         F.explode(words).alias("tok"),
     )
     freq = toks.groupBy("source", "tok").agg(F.count("*").alias("freq"))
-    w = Window.partitionBy("source").orderBy(
-        F.col("freq").desc(), F.col("tok").asc())
-    ranked = freq.withColumn("rank", F.row_number().over(w))
-    x = F.log(F.col("rank").cast("double"))
+    hist = freq.groupBy("source", "freq").agg(F.count("*").alias("m"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc())
+    hist = hist.withColumn("_c_above", F.sum("m").over(w) - F.col("m"))
+    x = F.log(F.col("_c_above") + (F.col("m") + F.lit(1)) / F.lit(2))
     y = F.log(F.col("freq").cast("double"))
-    return (
-        ranked.groupBy("source")
+    mm = F.col("m").cast("double")
+    agg = (
+        hist.groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_terms"),
-            F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
-            F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+            F.sum("m").cast("long").alias("n_terms"),
+            F.count("*").alias("_n_blocks"),
+            F.sum(mm * x).alias("_sx"), F.sum(mm * y).alias("_sy"),
+            F.sum(mm * x * x).alias("_sxx"), F.sum(mm * x * y).alias("_sxy"),
         )
         .where(F.col("n_terms") >= 2)
-        .select(
-            "source", "n_terms",
-            F.round(
-                (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("n_terms"))
-                / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n_terms")),
-                6,
-            ).alias("zipf_slope"),
-        )
+    )
+    denom = F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n_terms")
+    num = F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("n_terms")
+    # constant x <=> a single histogram block: gate STRUCTURALLY on the
+    # block count, not on denom != 0 — float cancellation leaves denom a
+    # tiny nonzero residue with the numerator sharing the same structure,
+    # so the raw ratio of the two rounding errors lands near 1.0
+    return agg.select(
+        "source", "n_terms",
+        F.round(
+            F.when(F.col("_n_blocks") >= 2, num / denom), 6
+        ).alias("zipf_slope"),
     )
 
 
 def zipf_slope_sql(text_col: str = "text", source_col: str = "source",
                    source_sql: str = "SELECT * FROM documents") -> str:
-    """DuckDB twin of :func:`zipf_slope_by_source` (same deterministic
-    rank tie-break and the same OLS-moment formula)."""
+    """DuckDB twin of :func:`zipf_slope_by_source` (same rank-free
+    midrank-histogram formulation, same m-weighted OLS moments, same
+    NULL on a constant-x source)."""
     return f"""
 WITH toks AS (
   SELECT source, unnest(w) AS tok FROM (
@@ -715,17 +734,28 @@ WITH toks AS (
   )
 ),
 freq AS (SELECT source, tok, count(*) AS freq FROM toks GROUP BY 1, 2),
+hist AS (SELECT source, freq, count(*) AS m FROM freq GROUP BY 1, 2),
 ranked AS (
-  SELECT source, ln(CAST(row_number() OVER (
-           PARTITION BY source ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS x,
+  SELECT source, m,
+         ln(sum(m) OVER (PARTITION BY source ORDER BY freq DESC)
+            - m + (m + 1) / 2) AS x,
          ln(CAST(freq AS DOUBLE)) AS y
-  FROM freq
+  FROM hist
+),
+moments AS (
+  SELECT source,
+         CAST(sum(m) AS BIGINT) AS n_terms,
+         count(*) AS n_blocks,
+         sum(m * x) AS sx, sum(m * y) AS sy,
+         sum(m * x * x) AS sxx, sum(m * x * y) AS sxy
+  FROM ranked
+  GROUP BY source
+  HAVING sum(m) >= 2
 )
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       round((sum(x * y) - sum(x) * sum(y) / count(*))
-             / (sum(x * x) - sum(x) * sum(x) / count(*)), 6) AS zipf_slope
-FROM ranked
-GROUP BY source
-HAVING count(*) >= 2
+SELECT source, n_terms,
+       CASE WHEN n_blocks >= 2 THEN
+         round((sxy - sx * sy / n_terms)
+               / (sxx - sx * sx / n_terms), 6)
+       END AS zipf_slope
+FROM moments
 """

@@ -1216,6 +1216,36 @@ def test_zipf_slope(spark):
     assert out["A"]["zipf_slope"] < 0
 
 
+def test_zipf_slope_midrank_ties_and_constant_freq(spark):
+    import math
+    # source A: freqs 3,1,1,1 -> tie block of three f=1 terms collapses to
+    # midrank 2+(3+1)/2 = 4... wait, c_above=1, midrank = 1+(3+1)/2 = 3.0;
+    # f=3 term: midrank 1. Hand OLS on m-weighted block points.
+    # source B: every term at the SAME freq -> constant x -> slope NULL.
+    rows = [("1", "a a a b c d", "A"), ("2", "x y z x y z", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {r["source"]: r for r in text.zipf_slope_by_source(df).collect()}
+    pts = [(math.log(1.0), math.log(3.0), 1.0),
+           (math.log(1 + (3 + 1) / 2), math.log(1.0), 3.0)]  # (x, y, m)
+    n = sum(m for _, _, m in pts)
+    sx = sum(m * x for x, _, m in pts)
+    sy = sum(m * y for _, y, m in pts)
+    sxx = sum(m * x * x for x, _, m in pts)
+    sxy = sum(m * x * y for x, y, m in pts)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert out["A"]["n_terms"] == 4
+    assert abs(out["A"]["zipf_slope"] - slope) < 1e-6
+    assert out["B"]["n_terms"] == 3
+    assert out["B"]["zipf_slope"] is None  # undefined, not 0-by-fiat
+    # ... and the DuckDB twin agrees on BOTH rows
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {r[0]: r for r in con.execute(text.zipf_slope_sql()).fetchall()}
+    assert abs(want["A"][2] - slope) < 1e-6
+    assert want["B"][2] is None
+
+
 def test_zipf_slope_duckdb_twin(docs_small):
     import duckdb
     import pandas.testing as pdt
