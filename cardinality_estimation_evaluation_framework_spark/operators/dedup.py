@@ -911,7 +911,8 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame, score_col: str,
 # --------------------------------------------------------------------------
 
 def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
-                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   block_size: int = 4096) -> DataFrame:
     """Exact duplicate-substring detection: per-doc coverage by W-word
     windows that occur verbatim in >= ``min_docs`` DISTINCT documents.
 
@@ -936,9 +937,21 @@ def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
     repeats); span merging is a pure-Catalyst sorted fold per doc — no
     window function, no explosion of covered positions. Intra-doc-only
     repeats are ignored here (see with_repetition_stats for those).
+
+    The sorted fold is BLOCK-WISE: duplicated-window starts are first
+    folded within fixed ``block_size``-position blocks of the doc
+    (each block array <= block_size entries), then the per-block
+    summaries — O(n_tok / block_size) structs — are merged with a
+    second fold that re-scores only the cross-block boundary gap.
+    Merged-interval coverage is a function of consecutive start gaps
+    alone, so the two-level fold is exact; a 10M-token doc now peaks
+    at a 32 KB block array plus ~2.4k 40-byte block summaries instead
+    of one 80 MB array row.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
+    if block_size < 1:
+        raise ValueError("block_size must be >= 1")
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
@@ -970,11 +983,6 @@ def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
     )
     hits = wins.join(dup_fps, "fp").select("doc_id", "n_tok", "pos")
     w_ = window
-    per = hits.groupBy("doc_id").agg(
-        F.first("n_tok").alias("n_tok"),
-        F.count("*").alias("n_dup_windows"),
-        F.array_sort(F.collect_list("pos")).alias("starts"),
-    )
     # fold merged-interval coverage: prev starts at -(W+1) so the first
     # window always contributes a full W and opens a span
     zero = F.struct(
@@ -982,24 +990,64 @@ def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
         F.lit(0).cast("long").alias("tok"),
         F.lit(0).cast("long").alias("spans"),
     )
-    fold = F.aggregate(
-        "starts",
+    fold_step = lambda acc, s: F.struct(  # noqa: E731
+        s.cast("long").alias("prev"),
+        (acc["tok"] + F.least(F.lit(w_), s - acc["prev"])).alias("tok"),
+        (
+            acc["spans"] + F.when(s - acc["prev"] > w_, 1).otherwise(0)
+        ).alias("spans"),
+    )
+    # level 1: fold within fixed-position blocks (arrays <= block_size)
+    per_block_raw = hits.groupBy(
+        "doc_id", F.floor(F.col("pos") / block_size).alias("blk")
+    ).agg(
+        F.first("n_tok").alias("n_tok"),
+        F.count("*").alias("cnt"),
+        F.array_sort(F.collect_list("pos")).alias("starts"),
+    )
+    bfold = F.aggregate("starts", zero, fold_step)
+    per_block = per_block_raw.select(
+        "doc_id",
+        "n_tok",
+        "cnt",
+        F.struct(
+            F.col("blk").alias("blk"),
+            F.element_at("starts", 1).cast("long").alias("first"),
+            F.element_at("starts", -1).cast("long").alias("last"),
+            bfold["tok"].alias("tok"),
+            bfold["spans"].alias("spans"),
+        ).alias("summary"),
+    )
+    # level 2: merge block summaries in block order; only the boundary
+    # gap (prev block's last start -> this block's first start) is
+    # re-scored — within-block pair gaps are already in summary.tok
+    per = per_block.groupBy("doc_id").agg(
+        F.first("n_tok").alias("n_tok"),
+        F.sum("cnt").alias("n_dup_windows"),
+        F.array_sort(F.collect_list("summary")).alias("blocks"),
+    )
+    merge = F.aggregate(
+        "blocks",
         zero,
-        lambda acc, s: F.struct(
-            s.cast("long").alias("prev"),
-            (acc["tok"] + F.least(F.lit(w_), s - acc["prev"])).alias("tok"),
+        lambda acc, b: F.struct(
+            b["last"].alias("prev"),
             (
-                acc["spans"] + F.when(s - acc["prev"] > w_, 1).otherwise(0)
+                acc["tok"] + b["tok"] - w_
+                + F.least(F.lit(w_), b["first"] - acc["prev"])
+            ).alias("tok"),
+            (
+                acc["spans"] + b["spans"] - 1
+                + F.when(b["first"] - acc["prev"] > w_, 1).otherwise(0)
             ).alias("spans"),
         ),
     )
     return per.select(
         "doc_id",
         "n_dup_windows",
-        fold["spans"].alias("n_spans"),
-        fold["tok"].alias("dup_tokens"),
+        merge["spans"].alias("n_spans"),
+        merge["tok"].alias("dup_tokens"),
         "n_tok",
-        F.round(fold["tok"] / F.col("n_tok"), 6).alias("dup_frac"),
+        F.round(merge["tok"] / F.col("n_tok"), 6).alias("dup_frac"),
     )
 
 

@@ -963,6 +963,37 @@ def test_dup_span_window_one_and_bad_window(spark):
         dedup.dup_span_stats(df, window=0)
 
 
+def test_dup_span_blockwise_fold_giant_doc(spark):
+    # A giant doc must NOT materialize one array row of all its dup-window
+    # starts: the block-wise fold (block_size) keeps per-row arrays bounded.
+    # Exactness check: tiny block_size (worst boundary pressure — every
+    # block holds ~1-2 starts) == default == brute force, on a doc whose
+    # duplicated windows form runs that straddle block boundaries.
+    import random
+    rng = random.Random(9)
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit".split()
+    body = []
+    for _ in range(400):
+        if rng.random() < 0.3:
+            body.extend(shared)  # duplicated run (shared with doc b)
+        body.append(f"u{rng.randrange(10_000)}")  # unique filler
+    rows = [("giant", " ".join(body)),
+            ("b", " ".join(shared * 3)),
+            ("c", "no overlap here whatsoever in this tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    want = _brute_dup_spans(rows, window=4)
+    for bs in (7, 64, 4096):
+        got = {
+            r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_tokens"],
+                          r["n_tok"], round(r["dup_frac"], 6))
+            for r in dedup.dup_span_stats(df, window=4,
+                                          block_size=bs).collect()
+        }
+        assert got == want, f"block_size={bs}"
+    with pytest.raises(ValueError):
+        dedup.dup_span_stats(df, window=4, block_size=0)
+
+
 def test_dup_span_partition_invariant(docs_small):
     docs = docs_small.limit(120)
     a = dedup.dup_span_stats(docs, window=5).toPandas()
