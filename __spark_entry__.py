@@ -342,6 +342,28 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (append-only corpora): the planted corpus
+    is split old/new on numeric doc group % 100, signatures are built for
+    the OLD half as the persisted index, and only the NEW docs run the
+    gram kernel — pairs out must equal the full recompute restricted to
+    pairs touching >= 1 new doc. The DuckDB twin re-derives the FULL
+    pipeline and applies that restriction as a predicate, so the
+    new-keyed join algebra is pinned value-exactly. Pairs within the old
+    half (group % 100 != 0) must NOT appear."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    grp = F.regexp_replace("doc_id", "^dup_", "").cast("long")
+    old_docs = docs.where(grp % 100 != 0)
+    new_docs = docs.where(grp % 100 == 0)
+    index = dedup_ops.minhash_signatures(
+        old_docs, num_hashes=64, n=3, seed=0, portable=True
+    )
+    return dedup_ops.minhash_dedup_pairs_incremental(
+        new_docs, index, threshold=0.5, num_hashes=64, bands=16,
+        portable=True,
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over planted duplicates, chunk-LSH bucketed —
     PORTABLE hash mode so the DuckDB twin (simhash_near_dup_pairs_sql) pins
@@ -622,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "decontam_overlap": q_decontam_overlap,
@@ -799,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
         # value-exact twins of the numpy kernels, over the same planted-dup
         # corpus as the Spark queries (see _docs_with_planted_dups).
         "minhash_dedup": dedup_ops.minhash_dedup_pairs_sql(
+            threshold=0.5, num_hashes=64, bands=16,
+            source_sql=_PLANTED_DOCS_SQL,
+        ),
+        "minhash_incremental": dedup_ops.minhash_dedup_pairs_incremental_sql(
+            new_docs_pred=(
+                "CAST(regexp_replace({d}, '^dup_', '') AS BIGINT) % 100 = 0"
+            ),
             threshold=0.5, num_hashes=64, bands=16,
             source_sql=_PLANTED_DOCS_SQL,
         ),

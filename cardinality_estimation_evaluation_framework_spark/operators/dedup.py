@@ -270,6 +270,29 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     )
 
 
+def _band_signatures(signatures: DataFrame, bands: int, rows_per_band: int,
+                     portable: bool) -> DataFrame:
+    """(doc_id, band, bucket): one row per signature band. Shared by the
+    full (:func:`minhash_lsh_candidates`) and incremental paths so both
+    bucket identically."""
+    def bucket_col(b):
+        joined = F.concat_ws(
+            ",",
+            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), bucket_col(b).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
                            rows_per_band: int = 4,
                            max_bucket_size: int = 100_000,
@@ -287,22 +310,7 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
     (equality-identical to the xxhash64 compaction, modulo hash collisions)
     so the DuckDB twin can reproduce it; production hashes it to a long to
     shrink shuffle rows."""
-    def bucket_col(b):
-        joined = F.concat_ws(
-            ",",
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-        )
-        return joined if portable else F.xxhash64(joined)
-
-    banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), bucket_col(b).alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _band_signatures(signatures, bands, rows_per_band, portable)
     if max_bucket_size is not None:
         banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -355,10 +363,113 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
     return _attach_persisted(out, persisted)
 
 
+def minhash_dedup_pairs_incremental(new_docs: DataFrame,
+                                    existing_sigs: DataFrame,
+                                    threshold: float = 0.8,
+                                    num_hashes: int = 64, bands: int = 16,
+                                    n: int = 3, seed: int = 0,
+                                    persist: bool = True,
+                                    portable: bool = False,
+                                    max_bucket_size: int = 100_000) -> DataFrame:
+    """Incremental MinHash+LSH dedup for append-only corpora: signatures
+    are computed for ``new_docs`` ONLY and joined against a persisted
+    signature index ``existing_sigs`` — the (doc_id, sig) table produced
+    by :func:`minhash_signatures` with the SAME num_hashes/n/seed/portable
+    settings (typically written to parquet by the previous run).
+
+    Returns exactly the pairs a full recompute over old ∪ new would emit
+    that touch >= 1 new doc; old×old pairs were already reported by the
+    run that built the index, so they are neither recomputed nor
+    re-verified.  Equivalence contract (pinned in pytest and by the
+    minhash_incremental oracle row): pairs_full(old ∪ new) ==
+    pairs_full(old) ∪ incremental(new, sigs(old)).
+
+    Scale posture: the expensive gram-hash/min-scatter kernel runs over
+    the new docs only; the candidate equi-join keys its LEFT side by the
+    (small) new-doc banded table, so members of an old×old bucket never
+    pair with each other; the hot-bucket cap is counted over the UNION
+    banded table so cap decisions match the full run; signature-verify
+    joins fetch only docs that appear in a candidate. doc_ids must be
+    unique across old ∪ new (append-only contract).
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(new_docs, num_hashes, n, seed,
+                                  portable=portable)
+    persisted = []
+    if persist:
+        new_sigs = new_sigs.persist()
+        persisted.append(new_sigs)
+    all_sigs = existing_sigs.select("doc_id", "sig").unionByName(
+        new_sigs.select("doc_id", "sig")
+    )
+    banded_all = _band_signatures(
+        existing_sigs.select("doc_id", "sig"), bands, rows_per_band, portable
+    ).withColumn("is_new", F.lit(False)).unionByName(
+        _band_signatures(new_sigs, bands, rows_per_band, portable)
+        .withColumn("is_new", F.lit(True))
+    )
+    if max_bucket_size is not None:
+        banded_all = _cap_hot_buckets(
+            banded_all, ["band", "bucket"], max_bucket_size
+        )
+    a = banded_all.where("is_new").alias("a")
+    b = banded_all.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(num_hashes)
+    out = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return _attach_persisted(out, persisted)
+
+
+def minhash_dedup_pairs_incremental_sql(
+        new_docs_pred: str, threshold: float = 0.8, num_hashes: int = 64,
+        bands: int = 16, n: int = 3, seed: int = 0,
+        max_bucket_size: int = 100_000,
+        source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of :func:`minhash_dedup_pairs_incremental`.
+
+    ``source_sql`` is the FULL corpus (old ∪ new) and ``new_docs_pred``
+    a SQL boolean template with a ``{d}`` placeholder for a doc_id
+    expression (e.g. ``"{d} LIKE 'dup_%'"``) marking the new docs. The
+    twin is the full-recompute pipeline restricted to candidate pairs
+    with >= 1 new side — a DIFFERENT derivation from the engine's
+    new-keyed join, so agreement pins the incremental algebra."""
+    return minhash_dedup_pairs_sql(
+        threshold=threshold, num_hashes=num_hashes, bands=bands, n=n,
+        seed=seed, max_bucket_size=max_bucket_size, source_sql=source_sql,
+        new_docs_pred=new_docs_pred,
+    )
+
+
 def minhash_dedup_pairs_sql(threshold: float = 0.8, num_hashes: int = 64,
                             bands: int = 16, n: int = 3, seed: int = 0,
                             max_bucket_size: int = 100_000,
-                            source_sql: str = "SELECT * FROM documents") -> str:
+                            source_sql: str = "SELECT * FROM documents",
+                            new_docs_pred: str | None = None) -> str:
     """DuckDB oracle twin of ``minhash_dedup_pairs(..., portable=True)``.
 
     Reproduces the ENTIRE pipeline value-exactly in pure SQL: md5-u64 gram
@@ -367,8 +478,16 @@ def minhash_dedup_pairs_sql(threshold: float = 0.8, num_hashes: int = 64,
     string, hot-bucket cap, candidate self-join, and the signature-agreement
     Jaccard estimate. Grams are DISTINCT here (min() is duplicate-
     insensitive, so values are identical to the kernel's non-distinct path).
+
+    ``new_docs_pred`` (used via :func:`minhash_dedup_pairs_incremental_sql`)
+    restricts candidates to pairs where >= 1 side satisfies the predicate.
     """
     rpb = num_hashes // bands
+    cand_filter = ""
+    if new_docs_pred is not None:
+        pa = new_docs_pred.format(d="a.doc_id")
+        pb = new_docs_pred.format(d="b.doc_id")
+        cand_filter = f"\n  WHERE ({pa}) OR ({pb})"
     offs = ", ".join(
         f"({k}, CAST({splitmix_offset(seed * 1_000_003 + k)} AS UBIGINT))"
         for k in range(num_hashes)
@@ -411,7 +530,7 @@ capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id{cand_filter}
 ),
 agree AS (
   SELECT c.doc_a, c.doc_b,

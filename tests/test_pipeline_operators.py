@@ -120,6 +120,74 @@ def test_minhash_lsh_finds_near_dups(docs_small):
     assert hits >= 4  # allow one probabilistic miss
 
 
+def test_minhash_incremental_equals_full_recompute(spark):
+    """Equivalence contract: pairs_full(old ∪ new) == pairs_full(old)
+    ∪ incremental(new, sigs(old)) — with dup groups spanning the split
+    (old-old, old-new, new-new) so each candidate class is exercised."""
+    import random
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(24):
+        body = " ".join(rng.choice(vocab) for _ in range(60))
+        rows.append((f"d{i:02d}", body))
+        if i % 3 == 0:  # plant a near-dup of every third doc
+            rows.append((f"c{i:02d}", body + " tail"))
+    # split: ids starting with 'c' plus the last third of originals = new
+    new_ids = {d for d, _ in rows if d.startswith("c") or d >= "d16"}
+    all_df = spark.createDataFrame(rows, "doc_id string, text string")
+    old_df = all_df.where(~F.col("doc_id").isin(list(new_ids)))
+    new_df = all_df.where(F.col("doc_id").isin(list(new_ids)))
+    kw = dict(threshold=0.3, num_hashes=32, bands=8, n=3, seed=1)
+    full = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in dedup.minhash_dedup_pairs(all_df, **kw).collect()}
+    old_only = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                for r in dedup.minhash_dedup_pairs(old_df, **kw).collect()}
+    index = dedup.minhash_signatures(old_df, num_hashes=32, n=3, seed=1)
+    inc = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+           for r in dedup.minhash_dedup_pairs_incremental(
+               new_df, index, **kw).collect()}
+    assert full == old_only | inc
+    # incremental must touch >= 1 new doc per pair and find some pairs
+    assert inc and all(a in new_ids or b in new_ids for a, b, _ in inc)
+    # and old×old pairs stay out of the incremental result
+    assert not any(a not in new_ids and b not in new_ids for a, b, _ in inc)
+
+
+def test_minhash_incremental_duckdb_twin(spark):
+    """Portable-mode incremental vs the full-pipeline DuckDB twin with the
+    new-docs predicate — pins the new-keyed join algebra value-exactly."""
+    import duckdb
+    import pandas as pd
+    import random
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(300)]
+    rows = []
+    for i in range(20):
+        body = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((f"{i:03d}", body))
+        if i % 2 == 0:
+            rows.append((f"9{i:03d}", body + " zz"))
+    all_df = spark.createDataFrame(rows, "doc_id string, text string")
+    pred = "length({d}) = 4"  # new docs = the '9'-prefixed copies
+    old_df = all_df.where(F.length("doc_id") != 4)
+    new_df = all_df.where(F.length("doc_id") == 4)
+    kw = dict(threshold=0.3, num_hashes=16, bands=4, n=2, seed=0)
+    index = dedup.minhash_signatures(
+        old_df, num_hashes=16, n=2, seed=0, portable=True)
+    got = (dedup.minhash_dedup_pairs_incremental(
+        new_df, index, portable=True, **kw).toPandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (con.execute(dedup.minhash_dedup_pairs_incremental_sql(
+        new_docs_pred=pred, **kw)).df()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    assert len(got) > 0
+
+
 def test_simhash_near_dups(spark):
     t1 = " ".join(f"tok{i}" for i in range(200))
     t2 = t1 + " tail"
