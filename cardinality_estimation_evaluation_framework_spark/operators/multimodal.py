@@ -85,15 +85,19 @@ def decode_image_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
     """REAL image decode: decode -> grayscale -> resize to a feature_dim x
     feature_dim grid -> row means as the feature vector.
 
-    Two real decoders, in preference order:
+    Real decoders, in preference order:
     - PIL when importable (all formats; bicubic resize), or
     - the pure-stdlib PNG codec (functions/png_codec.py: zlib inflate +
-      scanline unfilter per the PNG spec) for PNG payloads — so the real
-      path runs even on codec-less images. Deterministic either way;
+      scanline unfilter per the PNG spec) for PNG payloads, or
+    - the pure-stdlib baseline JPEG codec (functions/jpeg_codec.py:
+      Huffman + dequant + IDCT + chroma upsample per T.81) for JPEG
+      payloads — so the real path covers the two dominant crawl image
+      formats even on codec-less images. Deterministic either way;
       pinned by golden-fixture tests in tests/test_io_and_misc.py (the
-      stdlib path runs everywhere; the PIL path is skipif-gated).
+      stdlib paths run everywhere; the PIL path is skipif-gated).
     """
     from cardinality_estimation_evaluation_framework_spark.functions import (
+        jpeg_codec,
         png_codec,
     )
 
@@ -106,7 +110,10 @@ def decode_image_real(payload: bytes, feature_dim: int = 16) -> np.ndarray:
             img.resize((feature_dim, feature_dim)), dtype=np.float64
         )
         return grid.mean(axis=1).astype(np.float32)
-    arr = png_codec.png_decode(payload)  # ValueError on non-PNG
+    if jpeg_codec.is_jpeg(payload):
+        arr = jpeg_codec.jpeg_decode(payload)
+    else:
+        arr = png_codec.png_decode(payload)  # ValueError on non-PNG
     gray = png_codec.to_grayscale(arr)
     grid = png_codec.block_mean_resize(gray, feature_dim, feature_dim)
     return grid.mean(axis=1).astype(np.float32)
@@ -146,16 +153,17 @@ def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16
     """Decode + feature-extract one payload.
 
     With ``fake=False``, every modality has a REAL decoder: images via
-    PIL when importable, else the pure-stdlib PNG codec for PNG payloads
+    PIL when importable, else the pure-stdlib PNG or baseline-JPEG codec
     (decode_image_real); audio via the stdlib WAV codec for RIFF/PCM
     payloads (decode_audio_real); video via the stdlib YUV4MPEG2 codec
-    for .y4m payloads (decode_video_real). Non-PNG images without PIL,
-    compressed audio, and compressed video raise the documented seam
-    error — swap a real decoder in on a cluster image that ships the
-    codec libs (no libav here).
+    for .y4m payloads (decode_video_real). Non-PNG/JPEG images without
+    PIL, compressed audio, and compressed video raise the documented
+    seam error — swap a real decoder in on a cluster image that ships
+    the codec libs (no libav here).
     """
     if not fake:
         from cardinality_estimation_evaluation_framework_spark.functions import (
+            jpeg_codec,
             png_codec,
             wav_codec,
             y4m_codec,
@@ -163,7 +171,9 @@ def decode_stub(payload: bytes, modality: str, fake: bool, feature_dim: int = 16
 
         try:
             if modality == "image" and (
-                pil_or_none() is not None or png_codec.is_png(payload)
+                pil_or_none() is not None
+                or png_codec.is_png(payload)
+                or jpeg_codec.is_jpeg(payload)
             ):
                 return decode_image_real(payload, feature_dim)
             if modality == "audio" and wav_codec.is_wav(payload):

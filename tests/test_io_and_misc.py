@@ -375,6 +375,100 @@ def test_real_image_decode_stdlib_png(spark):
             direct, grid.mean(axis=1).astype(np.float32), atol=1e-6)
 
 
+def _jpeg_psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_codec_roundtrip_and_variants():
+    """Stdlib baseline JPEG codec: encode->decode roundtrip within the
+    lossy contract (PSNR bounds on smooth content, exact on uniform),
+    4:2:0 vs 4:4:4, odd dimensions, grayscale, restart intervals,
+    unsupported-variant rejection, determinism."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        jpeg_codec as jc,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (np.stack([(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+                    axis=2) // 4 + 96).astype(np.uint8)
+    for sub in ("420", "444"):
+        enc = jc.jpeg_encode(img, quality=95, subsampling=sub)
+        assert jc.is_jpeg(enc)
+        dec = jc.jpeg_decode(enc)
+        assert dec.shape == img.shape
+        assert _jpeg_psnr(img, dec) > 40, sub
+    # odd-dimension grayscale
+    g = ((yy[:37, :53] * 5 + xx[:37, :53] * 3) % 256).astype(np.uint8)
+    dg = jc.jpeg_decode(jc.jpeg_encode(g, quality=90))
+    assert dg.shape == (37, 53, 1) and _jpeg_psnr(g, dg[:, :, 0]) > 35
+    # uniform image is exact (DC-only blocks, zero quantization error)
+    u = np.full((24, 24, 3), 130, np.uint8)
+    np.testing.assert_array_equal(jc.jpeg_decode(jc.jpeg_encode(u)), u)
+    # restart intervals decode pixel-identically to the no-restart stream
+    base = jc.jpeg_decode(jc.jpeg_encode(img, quality=92))
+    for ri in (1, 3):
+        with_rst = jc.jpeg_decode(
+            jc.jpeg_encode(img, quality=92, restart_interval=ri))
+        np.testing.assert_array_equal(with_rst, base)
+    # determinism + rejections
+    assert jc.jpeg_encode(img, quality=80) == jc.jpeg_encode(img, quality=80)
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(b"not a jpeg")
+    # progressive SOF2 must hit the documented unsupported error
+    enc = bytearray(jc.jpeg_encode(g, quality=80))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jc.jpeg_decode(bytes(enc))
+    with pytest.raises(ValueError):
+        jc.jpeg_encode(np.zeros((0, 4), np.uint8))
+
+
+def test_real_image_decode_stdlib_jpeg(spark):
+    """The REAL decode path runs end-to-end WITHOUT PIL on JPEG payloads
+    through the mapInPandas plumbing — closing the most-common-crawl-
+    format gap in the multimodal seam (un-gated: stdlib codec only)."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        jpeg_codec as jc,
+        png_codec as pc,
+    )
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        multimodal,
+    )
+
+    def gradient_jpeg(shade: int) -> bytes:
+        y, x = np.mgrid[0:32, 0:32]
+        img = np.stack([
+            (x * 4 + shade) % 200, (y * 4) % 200, np.full_like(x, shade),
+        ], axis=2).astype(np.uint8)
+        return jc.jpeg_encode(img, quality=95)
+
+    rows = [
+        ("m1", "image", gradient_jpeg(10), 32, 32, None, "jpeg"),
+        ("m2", "image", gradient_jpeg(180), 32, 32, None, "jpeg"),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, fake=False, feature_dim=8).collect()
+    }
+    assert set(out) == {"m1", "m2"}
+    for r in out.values():
+        assert len(r["features"]) == 8
+    assert out["m1"]["features"] != out["m2"]["features"]
+    # executor decode == driver decode (deterministic)
+    direct = multimodal.decode_image_real(rows[0][2], feature_dim=8)
+    assert [pytest.approx(x, abs=1e-6) for x in direct.tolist()] \
+        == out["m1"]["features"]
+    if multimodal.pil_or_none() is None:
+        arr = jc.jpeg_decode(rows[0][2])
+        grid = pc.block_mean_resize(pc.to_grayscale(arr), 8, 8)
+        np.testing.assert_allclose(
+            direct, grid.mean(axis=1).astype(np.float32), atol=1e-6)
+
+
 def test_wav_codec_roundtrip_and_features():
     """Stdlib WAV codec: encode->decode roundtrip (16-bit quantization
     error bound), stereo downmix, 8-bit path, RMS features."""
