@@ -179,16 +179,23 @@ def ngram_overlap_exact_sql(n: int = 8, min_hits: int = 1,
     """DuckDB twin of :func:`ngram_overlap_exact`."""
 
     def grams_cte(src):
+        # linear explode+sliding-window gram form (see
+        # text.duckdb_tok_ctes for why the list-slice form is O(doc^2))
         return f"""
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, string_agg(word, ' ') OVER win AS gram,
+           count(*) OVER win AS _glen
     FROM (
-      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-      FROM ({src})
-    ) WHERE len(w) >= {n}
-  )"""
+      SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+      FROM (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM ({src})
+      )
+    )
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING)
+  ) WHERE _glen = {n}"""
 
     return f"""
 WITH doc_grams AS MATERIALIZED ({grams_cte(source_sql)}),

@@ -191,19 +191,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8,
                             source_sql: str = "SELECT * FROM documents") -> str:
     """DuckDB oracle twin of ngram_jaccard_pairs over the documents view."""
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        duckdb_gram_cte,
+        duckdb_tok_ctes,
+    )
+
     return f"""
-WITH words AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM ({source_sql})
-),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
-    FROM words WHERE len(w) >= {n}
-  )
-),
+WITH {duckdb_tok_ctes(source_sql=source_sql)},
+{duckdb_gram_cte(n, cte_name="grams_all")},
+grams AS (SELECT DISTINCT doc_id, gram FROM grams_all),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -328,7 +324,8 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int = 64,
                         bands: int = 16, n: int = 3, seed: int = 0,
-                        persist: bool = True, portable: bool = False) -> DataFrame:
+                        persist: bool = True, portable: bool = False,
+                        max_bucket_size: int = 100_000) -> DataFrame:
     """LSH candidates verified by exact signature agreement rate (an unbiased
     Jaccard estimate).
 
@@ -344,7 +341,10 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int
     if persist:
         sigs = sigs.persist()
         persisted.append(sigs)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, portable=portable)
+    cands = minhash_lsh_candidates(
+        sigs, bands, rows_per_band,
+        max_bucket_size=max_bucket_size, portable=portable,
+    )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
@@ -492,19 +492,15 @@ def minhash_dedup_pairs_sql(threshold: float = 0.8, num_hashes: int = 64,
         f"({k}, CAST({splitmix_offset(seed * 1_000_003 + k)} AS UBIGINT))"
         for k in range(num_hashes)
     )
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        duckdb_gram_cte,
+        duckdb_tok_ctes,
+    )
+
     return f"""
-WITH words AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM ({source_sql})
-),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
-    FROM words WHERE len(w) >= {n}
-  )
-),
+WITH {duckdb_tok_ctes(source_sql=source_sql)},
+{duckdb_gram_cte(n, cte_name="grams_all")},
+grams AS (SELECT DISTINCT doc_id, gram FROM grams_all),
 gh AS (SELECT doc_id, {md5_u64_duckdb('gram')} AS g FROM grams),
 offs(k, off) AS (VALUES {offs}),
 remix AS (
@@ -1175,22 +1171,19 @@ def dup_span_stats_sql(window: int = 6, min_docs: int = 2,
     """DuckDB oracle twin of dup_span_stats — deliberately a DIFFERENT
     derivation: groups by raw gram text (no fingerprint), computes
     coverage by DISTINCT-counting exploded covered positions, and span
-    count via a lag() window — vs Spark's hash-grouped sorted fold."""
+    count via a lag() window — vs Spark's hash-grouped sorted fold.
+    Gram construction is the linear explode+sliding-window form
+    (text.duckdb_gram_cte) so a 1M-token doc costs 1M window steps, not
+    10^12 list-slice touches."""
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        duckdb_gram_cte,
+        duckdb_tok_ctes,
+    )
+
     w1 = window - 1
     return f"""
-WITH words AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM ({source_sql})
-),
-wins AS (
-  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{w1}], ' ') AS gram,
-         len(w) AS n_tok
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - {w1})) AS i
-    FROM words WHERE len(w) >= {window}
-  )
-),
+WITH {duckdb_tok_ctes(source_sql=source_sql)},
+{duckdb_gram_cte(window, cte_name="wins")},
 dup AS (
   SELECT gram FROM wins GROUP BY gram
   HAVING count(DISTINCT doc_id) >= {min_docs}
@@ -1300,19 +1293,16 @@ def source_overlap_matrix_sql(n: int = 3,
     """DuckDB oracle twin of source_overlap_matrix — groups raw gram
     text (no fingerprints), so an xxhash64 collision on the Spark side
     would surface as a gate mismatch."""
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        duckdb_gram_cte,
+        duckdb_tok_ctes,
+    )
+
     return f"""
-WITH words AS (
-  SELECT CAST(source AS VARCHAR) AS source,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM ({source_sql})
-),
-grams AS (
-  SELECT DISTINCT source, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-  FROM (
-    SELECT source, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
-    FROM words WHERE len(w) >= {n}
-  )
-),
+WITH {duckdb_tok_ctes(key_expr="CAST(source AS VARCHAR)", key_name="source",
+                      source_sql=source_sql)},
+{duckdb_gram_cte(n, cte_name="grams_all", key_name="source")},
+grams AS (SELECT DISTINCT source, gram FROM grams_all),
 sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
 inter AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common

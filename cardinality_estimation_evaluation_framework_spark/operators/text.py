@@ -46,6 +46,57 @@ def _count_regex_sql(col: str, pattern: str) -> str:
     )
 
 
+def duckdb_tok_ctes(prefix: str = "",
+                    key_expr: str = "CAST(doc_id AS VARCHAR)",
+                    key_name: str = "doc_id", text_col: str = "text",
+                    source_sql: str = "SELECT * FROM documents") -> str:
+    """Shared DuckDB CTE pair `{prefix}words` / `{prefix}tok`: one row
+    per (doc, position, word), LINEAR in corpus size. Feed
+    :func:`duckdb_gram_cte` for n-grams. The earlier twins built grams
+    by slicing the per-doc word LIST per window (``w[i:i+n-1]``), which
+    DuckDB evaluates in O(len(w)) per slice — O(len^2) per doc, ~10^12
+    element touches on a 1M-token doc (measured: one such doc alone ran
+    >120 s; the explode+window form below does the whole 3.9M-token
+    hostile corpus in ~4 s)."""
+    p = prefix
+    # _rid keys the gram window to the physical DOCUMENT row: the output
+    # key (e.g. source) may repeat across docs, and a window partitioned
+    # on it would agg words across document boundaries (caught by
+    # test_source_overlap_matrix_duckdb_twin)
+    return f"""{p}words AS (
+  SELECT {key_expr} AS {key_name}, ROW_NUMBER() OVER () AS _rid,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM ({source_sql})
+),
+{p}tok AS (
+  SELECT {key_name}, _rid, len(w) AS n_tok,
+         generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+  FROM {p}words
+)"""
+
+
+def duckdb_gram_cte(n: int, cte_name: str = "grams", tok_cte: str = "tok",
+                    key_name: str = "doc_id",
+                    gram_name: str = "gram") -> str:
+    """DuckDB CTE `{cte_name}`: one row per word n-gram — (key, n_tok,
+    pos, gram) — built from a :func:`duckdb_tok_ctes` token table with a
+    sliding window aggregate (string_agg over CURRENT ROW..n-1
+    FOLLOWING), i.e. O(n) per token instead of O(doc) per window. pos
+    is the 0-based index of the gram's first word. The window
+    partitions on _rid (the document row), never on the output key."""
+    return f"""{cte_name} AS (
+  SELECT {key_name}, _rid, n_tok, pos, {gram_name} FROM (
+    SELECT {key_name}, _rid, n_tok, pos,
+           string_agg(word, ' ') OVER win AS {gram_name},
+           count(*) OVER win AS _glen
+    FROM {tok_cte}
+    WINDOW win AS (PARTITION BY _rid ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING)
+  ) WHERE _glen = {n}
+)"""
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """whitespace + BPE-ish token counts (pure Catalyst)."""
     t = F.col(text_col)
@@ -321,16 +372,13 @@ def repetition_stats_sql(text_col: str = "text", id_col: str = "doc_id",
             f"ELSE 0.0 END"
         )
 
+    # one shared token explode feeds all three top-n-gram stats; gram
+    # construction is the linear sliding-window form (duckdb_gram_cte) —
+    # the old per-window list slice was O(doc^2) (see duckdb_tok_ctes)
     gram_ctes, gram_joins, gram_cols = [], [], []
     for n, out_name in TOP_NGRAM_COLS.items():
         gram_ctes.append(f"""
-grams{n} AS (
-  SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS bg
-  FROM (
-    SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
-    FROM base WHERE len(w) >= {n}
-  )
-),
+{duckdb_gram_cte(n, cte_name=f'grams{n}', gram_name='bg')},
 gstats{n} AS (
   SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS {out_name}
   FROM (SELECT doc_id, bg, count(*) AS c FROM grams{n} GROUP BY doc_id, bg)
@@ -359,6 +407,11 @@ wstats AS (
   SELECT doc_id,
          {dup_frac_sql('w')} AS word_rep_frac,
          dup_line_frac, dup_para_frac
+  FROM base
+),
+tok AS (
+  SELECT doc_id, doc_id AS _rid, len(w) AS n_tok,
+         generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
   FROM base
 ),{','.join(gram_ctes)}
 SELECT w.doc_id, w.word_rep_frac,
@@ -614,40 +667,43 @@ def winnow_fingerprints_sql(k: int = 3, w: int = 4,
                             text_col: str = "text", id_col: str = "doc_id",
                             source_sql: str = "SELECT * FROM documents",
                             ) -> str:
-    """DuckDB twin of :func:`winnow_fingerprints`: per-doc hash LIST,
-    each window a list slice, leftmost min via list_min + first index —
-    a derivation with no fold and no join (an earlier range-join twin
-    was correct but materialized windows x members rows and took >30
-    min at the 10x corpus; list slices run it in seconds)."""
+    """DuckDB twin of :func:`winnow_fingerprints`: per-gram hash rows,
+    each window a sliding frame whose LEFTMOST MIN is selected by
+    min()-ing a HUGEINT (hash << 40 | position) key — equal hashes
+    break to the smaller position exactly like the Spark fold. A
+    derivation with no fold and no join. (Two prior twins retired: a
+    range join that materialized windows x members, and a per-window
+    list-slice form that DuckDB evaluates in O(doc) per slice —
+    O(doc^2) per doc, >120 s for ONE 1M-token doc; this one is linear
+    in corpus size.)"""
     from cardinality_estimation_evaluation_framework_spark.hashing import (
         md5_u64_duckdb,
     )
 
-    gram = f"array_to_string(wd[i:i+{k - 1}], ' ')"
+    shift = 1 << 40  # gram positions fit: 2^40 tokens per doc
     return f"""
-WITH base AS (
-  SELECT CAST({id_col} AS VARCHAR) AS doc_id,
-         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
-                     x -> x <> '') AS wd
-  FROM ({source_sql})
+WITH {duckdb_tok_ctes(key_expr=f"CAST({id_col} AS VARCHAR)",
+                      text_col=text_col, source_sql=source_sql)},
+{duckdb_gram_cte(k, cte_name="kgrams")},
+gh AS (
+  SELECT doc_id, pos + 1 AS gpos,
+         CAST({md5_u64_duckdb('gram')} >> 11 AS BIGINT) AS h,
+         n_tok - {k - 1} AS n_grams
+  FROM kgrams
 ),
-hl AS (
+sel AS (
   SELECT doc_id,
-         list_transform(
-           generate_series(1, len(wd) - {k - 1}),
-           i -> CAST({md5_u64_duckdb(gram)} >> 11 AS BIGINT)) AS hs
-  FROM base WHERE len(wd) >= {k}
-),
-win AS (
-  SELECT doc_id, hs, least({w}, len(hs)) AS wl,
-         unnest(generate_series(1, len(hs) - least({w}, len(hs)) + 1)) AS j
-  FROM hl
+         min(CAST(h AS HUGEINT) * {shift} + gpos) OVER win AS key,
+         count(*) OVER win AS wcnt,
+         least({w}, n_grams) AS wl
+  FROM gh
+  WINDOW win AS (PARTITION BY doc_id ORDER BY gpos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
 )
 SELECT DISTINCT doc_id,
-       CAST(j + list_indexof(hs[j:j + wl - 1], list_min(hs[j:j + wl - 1])) - 1
-            AS INT) AS pos,
-       list_min(hs[j:j + wl - 1]) AS fp
-FROM win
+       CAST(key % {shift} AS INT) AS pos,
+       CAST(key // {shift} AS BIGINT) AS fp
+FROM sel WHERE wcnt = wl
 """
 
 

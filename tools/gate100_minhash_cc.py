@@ -17,6 +17,13 @@ tools/make_sfbig.py):
    seconds — the convergence-check overhead measurement for SCALE.md §5.
 3. Bloom decontam superset check at 100x: flag_contaminated_bloom vs
    ngram_overlap_exact — no false negatives, FP overcount recorded.
+4. (round 6) winnow_near_dup at FULL gate params (k=3, w=4,
+   min_shared=2) checked VALUE-EXACTLY against its DuckDB twin — its
+   pair regime grows fastest of the LSH family (103 -> 1,049,019 rows
+   at just 10x), so the second decade is the one that matters.
+5. (round 6) zipf_slope (rank-free midrank-OLS formulation) checked
+   value-exactly at 100x — the scale the old single-task vocabulary
+   sort was replaced for.
 
 Usage: python tools/gate100_minhash_cc.py [sf_dir]   (default .sfbig100)
 Writes GATE100.json; exit 1 on any failure.
@@ -174,6 +181,46 @@ def main() -> int:
           f"exact_hits={total_hits} bloom_overcount={overcount} "
           f"exact={out['decontam_exact_sec']}s bloom={out['decontam_bloom_sec']}s",
           flush=True)
+
+    # ---- 4. winnow_near_dup at full gate params, value-exact ----
+    def cmp(name, got_pdf, want_pdf):
+        a, b = normalize(got_pdf), normalize(want_pdf)
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b)
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, atol=1e-9)
+            except AssertionError as e:
+                ok, out[f"{name}_err"] = False, str(e).splitlines()[0]
+        else:
+            out[f"{name}_err"] = f"rows {len(a)} vs {len(b)}"
+        out[f"{name}_rows"] = len(a)
+        out[f"{name}_ok"] = ok
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(a)} "
+              f"spark={out[f'{name}_spark_sec']}s "
+              f"duckdb={out[f'{name}_duckdb_sec']}s", flush=True)
+        return ok
+
+    full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    win_pdf = dedup_ops.winnow_near_dup_pairs(
+        full_docs, k=3, w=4, min_shared=2).toPandas()
+    out["winnow_near_dup_spark_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    duck_win = con.execute(
+        dedup_ops.winnow_near_dup_pairs_sql(k=3, w=4, min_shared=2)).df()
+    out["winnow_near_dup_duckdb_sec"] = round(time.time() - t0, 1)
+    failures += not cmp("winnow_near_dup", win_pdf, duck_win)
+
+    # ---- 5. zipf_slope (rank-free) at 100x, value-exact ----
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    t0 = time.time()
+    zipf_pdf = qs["zipf_slope"](spark, sf_dir).toPandas()
+    out["zipf_slope_spark_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    duck_zipf = con.execute(oracles["zipf_slope"]).df()
+    out["zipf_slope_duckdb_sec"] = round(time.time() - t0, 1)
+    failures += not cmp("zipf_slope", zipf_pdf, duck_zipf)
 
     out["failures"] = failures
     with open("/root/repo/GATE100.json", "w") as fh:
