@@ -149,10 +149,14 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     idxs = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        gram_at,
+    )
+
     grams = doc.select(
         "doc_id",
         F.explode(
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)))
+            F.transform(idxs, lambda i: gram_at("w", i, n))
         ).alias("gram"),
     )
     return grams.distinct() if distinct else grams
@@ -1067,24 +1071,34 @@ def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
         raise ValueError("window must be >= 1")
     if block_size < 1:
         raise ValueError("block_size must be >= 1")
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        gram_at,
+    )
+
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    doc = docs.select(F.col(id_col).cast("string").alias("doc_id"), words.alias("w"))
+    # n_tok is computed BELOW the generate on purpose: if size(w) sat in
+    # the same select as the explode, ExtractGenerator would hoist it into
+    # a Project ABOVE the Generate, forcing the full word array `w` into
+    # the Generate's requiredChildOutput — copied into every one of the
+    # n_tok output rows, O(doc^2) bytes. A 400k-token doc took 187 s that
+    # way; with n_tok as a plain 8-byte attribute it is ~4 s and linear.
+    doc = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), words.alias("w")
+    ).select("doc_id", F.size("w").alias("n_tok"), "w")
     idxs = F.when(
-        F.size("w") >= window, F.sequence(F.lit(0), F.size("w") - window)
+        F.col("n_tok") >= window, F.sequence(F.lit(0), F.col("n_tok") - window)
     ).otherwise(F.array().cast("array<int>"))
     wins = doc.select(
         "doc_id",
-        F.size("w").alias("n_tok"),
+        "n_tok",
         F.explode(
             F.transform(
                 idxs,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws(" ", F.slice("w", i + 1, window))
-                    ).alias("fp"),
+                    F.xxhash64(gram_at("w", i, window)).alias("fp"),
                 ),
             )
         ).alias("win"),
@@ -1258,13 +1272,14 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3, text_col: str = "text",
     idxs = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        gram_at,
+    )
+
     g = doc.select(
         "source",
         F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i + 1, n))),
-            )
+            F.transform(idxs, lambda i: F.xxhash64(gram_at("w", i, n)))
         ).alias("fp"),
     ).distinct()
     sizes = g.groupBy("source").agg(F.count("*").alias("n_grams"))

@@ -46,6 +46,19 @@ def _count_regex_sql(col: str, pattern: str) -> str:
     )
 
 
+def gram_at(arr, i, n: int) -> Column:
+    """Space-joined word n-gram of array column ``arr`` starting at
+    0-based index ``i`` (a lambda variable) — built from n element_at
+    lookups, NEVER ``F.slice``: these lambdas run INTERPRETED inside
+    explode/transform generators, and interpreted Slice copies
+    O(len(arr)) per call — O(doc^2) per document. Measured on one
+    300k-token doc: 113 s with slice vs ~3 s with element_at (and the
+    1M-token hostile doc never finished). element_at on UnsafeArrayData
+    is O(1)."""
+    return F.concat_ws(" ", *[F.element_at(arr, i + (j + 1))
+                              for j in range(n)])
+
+
 def duckdb_tok_ctes(prefix: str = "",
                     key_expr: str = "CAST(doc_id AS VARCHAR)",
                     key_name: str = "doc_id", text_col: str = "text",
@@ -339,7 +352,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
         grams = base.select(
             F.col(id_col).alias("_bid"),
             F.explode(
-                F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, n)))
+                F.transform(idxs, lambda i: gram_at("_w", i, n))
             ).alias("bg"),
         )
         per_doc = (
@@ -633,9 +646,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     ).otherwise(F.array().cast("array<int>"))
     hs = F.transform(
         gidx,
-        lambda i: F.shiftrightunsigned(
-            md5_u64_spark(F.concat_ws(" ", F.slice("wd", i + 1, k))), 11
-        ),
+        lambda i: F.shiftrightunsigned(md5_u64_spark(gram_at("wd", i, k)), 11),
     )
     doc = doc.select("doc_id", hs.alias("hs")).where(F.size("hs") > 0)
     wlen = F.least(F.lit(w), F.size("hs"))
