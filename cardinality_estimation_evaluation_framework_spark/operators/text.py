@@ -639,16 +639,33 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    doc = docs.select(F.col(id_col).cast("string").alias("doc_id"),
-                      words.alias("wd"))
-    gidx = F.when(
-        F.size("wd") >= k, F.sequence(F.lit(0), F.size("wd") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    hs = F.transform(
-        gidx,
-        lambda i: F.shiftrightunsigned(md5_u64_spark(gram_at("wd", i, k)), 11),
+    # The word array is bound ONCE per row as a lambda variable. The
+    # obvious two-step select (words.alias("wd") then transform over
+    # col("wd")) is a stacked Project that CollapseProject merges,
+    # inlining filter(split(text)) into EVERY element_at inside the
+    # gram lambda — a full regex split of the document per gram element,
+    # O(k * n_tok^2). A 1M-token doc burned 40+ CPU-minutes inside
+    # StringSplit that way. transform(array(words), wd -> ...) evaluates
+    # the split once and every wd reference reads the bound value.
+    hs = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda wd: F.transform(
+                F.when(
+                    F.size(wd) >= k, F.sequence(F.lit(0), F.size(wd) - k)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.shiftrightunsigned(
+                    md5_u64_spark(gram_at(wd, i, k)), 11
+                ),
+            ),
+        ),
+        1,
     )
-    doc = doc.select("doc_id", hs.alias("hs")).where(F.size("hs") > 0)
+    # pre-filter on word count (one split, linear) instead of on the
+    # derived hs array (whole gram chain inlined into the predicate)
+    doc = docs.where(F.size(words) >= k).select(
+        F.col(id_col).cast("string").alias("doc_id"), hs.alias("hs")
+    )
     wlen = F.least(F.lit(w), F.size("hs"))
     starts = F.sequence(F.lit(1), F.size("hs") - wlen + 1)
     # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, indexing

@@ -43,6 +43,42 @@ def tree_of(plan: str) -> str:
     return plan.split("\n\n(")[0]
 
 
+def generate_required_cols(plan: str) -> list[str]:
+    """requiredChildOutput attribute lists of every Generate node in a
+    formatted plan. A Generate detail block prints
+    ``Arguments: explode(<expr>), [attrs], false, [out]`` (the [attrs]
+    list is omitted when empty); the generator <expr> itself contains
+    brackets, so parse from the RIGHT: strip the trailing output list
+    and the false/outer flags, then take the bracketed list if the
+    remainder ends with one."""
+    out: list[str] = []
+    for block in plan.split("\n\n("):
+        if not block.split("\n", 1)[0].endswith("Generate"):
+            continue
+        for line in block.splitlines():
+            if not line.startswith("Arguments: "):
+                continue
+            body = line[len("Arguments: "):].rstrip()
+            # drop ", [output]" then trailing ", false"/", true" flags
+            body = body[: body.rfind(", [")]
+            while body.endswith(", false") or body.endswith(", true"):
+                body = body[: body.rfind(", ")]
+            if body.endswith("]"):
+                depth, i = 0, len(body) - 1
+                while i >= 0:
+                    if body[i] == "]":
+                        depth += 1
+                    elif body[i] == "[":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i -= 1
+                out.append(body[i + 1:-1])
+            else:
+                out.append("")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # AQE off for the audit: pre-execution formatted plans then show the
@@ -271,6 +307,18 @@ def main() -> None:
         "dup-span span merge regressed from a fold to a window!")
     assert "hashpartitioning(gram" not in span_plan, (
         "dup-span shuffles raw gram strings instead of fingerprints!")
+    # two O(doc^2) regressions pinned (each made a 400k-token doc take
+    # minutes): (a) the word ARRAY must never ride a Generate's
+    # requiredChildOutput — that copies the whole array into every
+    # generated row (n_tok must be computed BELOW the generate);
+    # (b) window grams must be built from O(1) element_at lookups, not
+    # interpreted slice() (O(len) per window inside a transform lambda).
+    for req in generate_required_cols(span_plan):
+        assert " w#" not in f" {req}", (
+            f"dup-span Generate carries the word array per output row "
+            f"(requiredChildOutput=[{req}]) — O(doc^2) bytes!")
+    assert "slice(" not in span_plan, (
+        "dup-span windows regressed from element_at to interpreted slice!")
 
     # 14. cross-source overlap matrix: distinct (source, gram) reduced to
     # 8-byte xxhash64 fingerprints BEFORE the distinct shuffle and the
@@ -287,6 +335,9 @@ def main() -> None:
         "source-overlap shuffles raw gram strings instead of fingerprints!")
     assert "xxhash64" in so_plan, (
         "source-overlap fingerprinting disappeared from the plan!")
+    assert "slice(" not in so_plan, (
+        "source-overlap grams regressed from element_at to interpreted "
+        "slice (O(doc^2))!")
 
     # 15. deterministic k-per-group sample: the rank filter must be
     # rewritten to WindowGroupLimit (partial per-partition top-k BEFORE
@@ -317,6 +368,9 @@ def main() -> None:
     assert "Window" not in wn_tree, "winnowing grew a window function!"
     n_ex = wn_tree.count("Exchange")
     assert n_ex == 1, f"winnowing should shuffle once (distinct), found {n_ex}"
+    assert "slice(" not in wn_plan, (
+        "winnowing k-grams regressed from element_at to interpreted "
+        "slice (O(doc^2))!")
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
