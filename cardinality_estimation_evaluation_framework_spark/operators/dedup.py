@@ -203,8 +203,8 @@ def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8,
     return f"""
 WITH {duckdb_tok_ctes(source_sql=source_sql)},
 {duckdb_gram_cte(n, cte_name="grams_all")},
-grams AS (SELECT DISTINCT doc_id, gram FROM grams_all),
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+grams AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM grams_all),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -512,7 +512,7 @@ remix AS (
          {u64_to_i64_duckdb('h', 'hs')}
   FROM gh CROSS JOIN offs
 ),
-sig AS (SELECT doc_id, k, min(hs) AS m FROM remix GROUP BY doc_id, k),
+sig AS MATERIALIZED (SELECT doc_id, k, min(hs) AS m FROM remix GROUP BY doc_id, k),
 banded AS (
   -- k < bands*rpb: when bands does not divide num_hashes, the leftover
   -- hashes belong to NO band (Spark slices exactly bands*rpb entries);
@@ -526,7 +526,7 @@ ok_buckets AS (
   SELECT band, bucket FROM banded GROUP BY band, bucket
   HAVING count(*) <= {max_bucket_size}
 ),
-capped AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
+capped AS MATERIALIZED (SELECT banded.* FROM banded JOIN ok_buckets USING (band, bucket)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
@@ -710,7 +710,7 @@ th AS (
   FROM th0
 ),
 bits AS (SELECT doc_id, count(*) AS n, {bit_sums} FROM th GROUP BY doc_id),
-sig AS (SELECT doc_id, {pack} AS simhash FROM bits),
+sig AS MATERIALIZED (SELECT doc_id, {pack} AS simhash FROM bits),
 chunks AS (
   SELECT doc_id, simhash, c,
          CAST(({uns} // p) % 65536 AS BIGINT) AS val
@@ -721,7 +721,7 @@ ok_buckets AS (
   SELECT c, val FROM chunks GROUP BY c, val
   HAVING count(*) <= {max_bucket_size}
 ),
-capped AS (SELECT chunks.* FROM chunks JOIN ok_buckets USING (c, val)),
+capped AS MATERIALIZED (SELECT chunks.* FROM chunks JOIN ok_buckets USING (c, val)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sig_a, b.simhash AS sig_b
@@ -1198,12 +1198,13 @@ def dup_span_stats_sql(window: int = 6, min_docs: int = 2,
     return f"""
 WITH {duckdb_tok_ctes(source_sql=source_sql)},
 {duckdb_gram_cte(window, cte_name="wins")},
+wins_m AS MATERIALIZED (SELECT * FROM wins),
 dup AS (
-  SELECT gram FROM wins GROUP BY gram
+  SELECT gram FROM wins_m GROUP BY gram
   HAVING count(DISTINCT doc_id) >= {min_docs}
 ),
-hits AS (
-  SELECT doc_id, pos, n_tok FROM wins WHERE gram IN (SELECT gram FROM dup)
+hits AS MATERIALIZED (
+  SELECT doc_id, pos, n_tok FROM wins_m WHERE gram IN (SELECT gram FROM dup)
 ),
 cover AS (
   SELECT DISTINCT doc_id, p
@@ -1317,8 +1318,8 @@ def source_overlap_matrix_sql(n: int = 3,
 WITH {duckdb_tok_ctes(key_expr="CAST(source AS VARCHAR)", key_name="source",
                       source_sql=source_sql)},
 {duckdb_gram_cte(n, cte_name="grams_all", key_name="source")},
-grams AS (SELECT DISTINCT source, gram FROM grams_all),
-sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+grams AS MATERIALIZED (SELECT DISTINCT source, gram FROM grams_all),
+sizes AS MATERIALIZED (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
 inter AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
@@ -1385,9 +1386,9 @@ def winnow_near_dup_pairs_sql(k: int = 3, w: int = 4, min_shared: int = 2,
 
     inner = winnow_fingerprints_sql(k=k, w=w, source_sql=source_sql)
     return f"""
-WITH fps AS (SELECT DISTINCT doc_id, fp FROM ({inner})),
+WITH fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM ({inner})),
 sizes AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
-kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN sizes USING (fp)
+kept AS MATERIALIZED (SELECT fps.doc_id, fps.fp FROM fps JOIN sizes USING (fp)
          WHERE c <= {int(max_bucket_size)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared

@@ -518,7 +518,7 @@ WITH toks AS (
     FROM ({source_sql})
   )
 ),
-per AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+per AS MATERIALIZED (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
 tot AS (SELECT source, sum(c_st) AS n_s FROM per GROUP BY 1),
 gtot AS (SELECT tok, sum(c_st) AS c_t FROM per GROUP BY 1),
 big AS (SELECT sum(c_t) AS n_corpus FROM gtot)
@@ -588,7 +588,7 @@ WITH toks AS (
     FROM ({source_sql})
   )
 ),
-per AS (SELECT doc_id, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2),
+per AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c_dt FROM toks GROUP BY 1, 2),
 gtot AS (SELECT tok, sum(c_dt) AS c_t FROM per GROUP BY 1),
 big AS (SELECT sum(c_t) AS n_corpus FROM gtot)
 SELECT doc_id,
