@@ -17,10 +17,14 @@ tools/make_sfbig.py):
    seconds — the convergence-check overhead measurement for SCALE.md §5.
 3. Bloom decontam superset check at 100x: flag_contaminated_bloom vs
    ngram_overlap_exact — no false negatives, FP overcount recorded.
-4. (round 6) winnow_near_dup at FULL gate params (k=3, w=4,
-   min_shared=2) checked VALUE-EXACTLY against its DuckDB twin — its
-   pair regime grows fastest of the LSH family (103 -> 1,049,019 rows
-   at just 10x), so the second decade is the one that matters.
+4. (round 6) winnow_near_dup at gate params (k=3, w=4, min_shared=2)
+   with max_bucket_size=200 — the 100-copy corpus multiplies every
+   fingerprint bucket ~100x, so the UNCAPPED pre-agg pair stream is
+   4.0e9 rows (measured; it filled the sandbox disk with shuffle
+   spill). The cap is the operator's real scale defense and is applied
+   identically in both engines; the check compares row count plus a
+   portable md5-u64 value hash over (doc_a, doc_b, n_shared), i.e.
+   value-exact without materializing tens of millions of pandas rows.
 5. (round 6) zipf_slope (rank-free midrank-OLS formulation) checked
    value-exactly at 100x — the scale the old single-task vocabulary
    sort was replaced for.
@@ -59,6 +63,13 @@ def planted_docs(spark, sf_dir):
     import __spark_entry__ as entry
 
     return entry._docs_with_planted_dups(spark, sf_dir)
+
+
+def dump(out: dict) -> None:
+    """Incremental write: a crash in a later section (e.g. a disk-full
+    in a 100x join) must not discard completed sections' results."""
+    with open("/root/repo/GATE100.json", "w") as fh:
+        json.dump(out, fh, indent=1)
 
 
 def main() -> int:
@@ -128,6 +139,7 @@ def main() -> int:
           f"clusters={n_clusters} rounds={out['light_cc_rounds']} "
           f"spark={out['light_cc_spark_sec']}s "
           f"duckdb={out['light_cc_duckdb_sec']}s", flush=True)
+    dump(out)
 
     # ---- 2. full-param engine run (no oracle; gate-row config) ----
     t0 = time.time()
@@ -147,6 +159,7 @@ def main() -> int:
           f"total={out['full_spark_sec']}s propagate={prop:.1f}s "
           f"count-jobs={cnt:.1f}s ({out['full_cc_count_fraction']:.0%} of CC)",
           flush=True)
+    dump(out)
 
     # ---- 3. Bloom decontam superset at 100x ----
     ddocs = docs.select("doc_id", "text")
@@ -181,6 +194,7 @@ def main() -> int:
           f"exact_hits={total_hits} bloom_overcount={overcount} "
           f"exact={out['decontam_exact_sec']}s bloom={out['decontam_bloom_sec']}s",
           flush=True)
+    dump(out)
 
     # ---- 4. winnow_near_dup at full gate params, value-exact ----
     def cmp(name, got_pdf, want_pdf):
@@ -201,16 +215,55 @@ def main() -> int:
               f"duckdb={out[f'{name}_duckdb_sec']}s", flush=True)
         return ok
 
+    # The 100x corpus is built from 100 near-identical copies, so every
+    # fingerprint bucket is ~100x multiplied: the UNCAPPED pre-agg pair
+    # stream is 4.0e9 rows (measured) and filled the sandbox disk with
+    # shuffle spill. Run with max_bucket_size=200 — the operator's real
+    # scale defense, applied identically in both engines (57.7M-row
+    # stream) — and compare count + a portable md5-u64 value hash
+    # instead of materializing tens of millions of pair rows in pandas.
+    from cardinality_estimation_evaluation_framework_spark.hashing import (
+        md5_u64_duckdb,
+        md5_u64_spark,
+    )
+
+    WCAP = 200
     full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
-    win_pdf = dedup_ops.winnow_near_dup_pairs(
-        full_docs, k=3, w=4, min_shared=2).toPandas()
+    win = dedup_ops.winnow_near_dup_pairs(
+        full_docs, k=3, w=4, min_shared=2, max_bucket_size=WCAP)
+    key = F.concat_ws("|", "doc_a", "doc_b", "n_shared")
+    got = win.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.shiftrightunsigned(md5_u64_spark(key), 32)), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
     out["winnow_near_dup_spark_sec"] = round(time.time() - t0, 1)
     t0 = time.time()
-    duck_win = con.execute(
-        dedup_ops.winnow_near_dup_pairs_sql(k=3, w=4, min_shared=2)).df()
+    wsql = dedup_ops.winnow_near_dup_pairs_sql(
+        k=3, w=4, min_shared=2, max_bucket_size=WCAP)
+    wkey = "doc_a || '|' || doc_b || '|' || CAST(n_shared AS VARCHAR)"
+    want = con.execute(f"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum({md5_u64_duckdb(wkey)} >> 32), 0)
+                    AS BIGINT) AS h
+        FROM ({wsql})""").fetchone()
     out["winnow_near_dup_duckdb_sec"] = round(time.time() - t0, 1)
-    failures += not cmp("winnow_near_dup", win_pdf, duck_win)
+    ok = int(got["n"]) == int(want[0]) and int(got["h"]) == int(want[1])
+    out["winnow_near_dup_rows"] = int(got["n"])
+    out["winnow_near_dup_cap"] = WCAP
+    out["winnow_near_dup_ok"] = ok
+    if not ok:
+        out["winnow_near_dup_err"] = (
+            f"spark (n={got['n']}, h={got['h']}) vs "
+            f"duckdb (n={want[0]}, h={want[1]})")
+    failures += not ok
+    print(f"winnow_near_dup: {'OK' if ok else 'MISMATCH'} "
+          f"rows={got['n']} cap={WCAP} value_hash_match={ok} "
+          f"spark={out['winnow_near_dup_spark_sec']}s "
+          f"duckdb={out['winnow_near_dup_duckdb_sec']}s", flush=True)
+    dump(out)
 
     # ---- 5. zipf_slope (rank-free) at 100x, value-exact ----
     qs, oracles = entry.queries(), entry.oracle_sql()
@@ -223,8 +276,7 @@ def main() -> int:
     failures += not cmp("zipf_slope", zipf_pdf, duck_zipf)
 
     out["failures"] = failures
-    with open("/root/repo/GATE100.json", "w") as fh:
-        json.dump(out, fh, indent=1)
+    dump(out)
     print(f"GATE100: failures={failures} -> GATE100.json", flush=True)
     return 1 if failures else 0
 
