@@ -371,6 +371,21 @@ def main() -> None:
 
     payload["queries"] = {k_: round(v, 3) for k_, v in queries.items()}
     payload["value"] = round(sum(queries.values()), 3)
+    # Cross-round comparisons should be read from the newest interleaved
+    # paired A/B record (tools/bench_ab_rounds.py), not from raw per-round
+    # totals: this sandbox's throughput drifts 2-3x between minutes and
+    # only base/head pairs measured in the same window cancel that.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        abs_ = sorted(
+            (f for f in os.listdir(bench_dir)
+             if f.startswith("ab_") and f.endswith(".json")),
+            key=lambda f: os.path.getmtime(os.path.join(bench_dir, f)),
+        )
+        if abs_:
+            payload["ab_record"] = f"BENCH/{abs_[-1]}"
+    except OSError:
+        pass
     print(json.dumps(payload))
 
 
