@@ -371,6 +371,23 @@ def main() -> None:
     assert "slice(" not in wn_plan, (
         "winnowing k-grams regressed from element_at to interpreted "
         "slice (O(doc^2))!")
+    # the CollapseProject O(k*n^2) hazard, pinned two ways: (a) no Filter
+    # predicate may contain a transform( — the old size(hs)>0 filter got
+    # the whole gram chain inlined into the predicate; (b) the word split
+    # must appear a BOUNDED number of times (the lambda-bound form shows
+    # it twice: once in the linear where-predicate, once in the array()
+    # binding) — the stacked-select form inlined it at k+2 sites INSIDE
+    # the per-element gram lambda (a full regex split per gram element;
+    # 40+ CPU-minutes on one 1M-token doc).
+    for block in wn_plan.split("\n\n("):
+        if block.split("\n", 1)[0].endswith("Filter"):
+            assert "transform(" not in block, (
+                "winnowing filter predicate inlines the gram transform "
+                "chain — O(k*n^2) per doc!")
+    n_split = wn_plan.count("split(lower(")
+    assert n_split <= 2, (
+        f"winnowing plan evaluates the word split {n_split} times — the "
+        f"tokenize expression is being inlined per gram element again!")
 
     out = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
