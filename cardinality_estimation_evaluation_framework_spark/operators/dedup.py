@@ -823,18 +823,20 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     if persist:
         base = base.persist()
         persisted.append(base)
-    e = base.select(
-        "vid", "v", "nrm", F.posexplode("bks").alias("band", "bucket")
-    )
+    # The band self-join is SLIM on purpose: only (vid, band, bucket)
+    # rides the candidate shuffle, never the vector. The earlier shape
+    # exploded v/nrm into every band row, so the equi-join shuffled
+    # dim doubles x bands per vector on BOTH sides (at 1B x dim-768 x 8
+    # bands that is ~50 TB of shuffle where ~25 GB of keys suffices) and
+    # computed the dot product once per COLLIDING BAND before a distinct.
+    # Now: distinct (vec_a, vec_b) candidates first — 16-byte rows, one
+    # dot per pair — then two vid-keyed joins pull v/nrm back for the
+    # exact re-rank, moving each vector once per surviving candidate.
+    e = base.select("vid", F.posexplode("bks").alias("band", "bucket"))
     if max_bucket_size is not None:
         e = _cap_hot_buckets(e, ["band", "bucket"], max_bucket_size)
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    out = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -844,9 +846,30 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
         )
         .distinct()
+    )
+    va = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    vb = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
     return _attach_persisted(out, persisted)

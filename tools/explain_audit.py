@@ -164,6 +164,16 @@ def main() -> None:
     assert "CartesianProduct" not in emb_plan, "embedding LSH join is cartesian!"
     assert "Window" not in tree_of(emb_plan), (
         "embedding LSH hot-bucket cap regressed to a window!")
+    # the band-candidate shuffle must be SLIM: any Exchange partitioned on
+    # (band, bucket) that carries the vector column would move dim doubles
+    # x bands per vector on both join sides (regression: pre-round-6 shape
+    # exploded v/nrm into every band row)
+    for block in emb_plan.split("\n\n("):
+        head = block.split("\n", 1)[0]
+        if head.endswith("Exchange") and "hashpartitioning(band" in block:
+            assert " v#" not in block and ", v#" not in block, (
+                "embedding LSH band shuffle carries the vector column — "
+                "dim x bands doubles per vector on both join sides!")
 
     # 8. pure-Catalyst HLL build: whole-stage codegen aggregation, ZERO
     # Python operators anywhere in the plan
