@@ -448,6 +448,31 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing near-dup (append-only corpora): the planted
+    corpus is split old/new on numeric doc group % 100, the OLD half's
+    distinct (doc_id, fp) table is the persisted index, and only the NEW
+    docs run the fingerprint selection. Output must equal the full
+    recompute restricted to pairs touching >= 1 new doc — the DuckDB
+    twin re-derives the FULL pipeline and applies that restriction as a
+    predicate, pinning the new-keyed join algebra value-exactly."""
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        text as text_ops_,
+    )
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    grp = F.regexp_replace("doc_id", "^dup_", "").cast("long")
+    old_docs = docs.where(grp % 100 != 0)
+    new_docs = docs.where(grp % 100 == 0)
+    index = (
+        text_ops_.winnow_fingerprints(old_docs, k=3, w=4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return dedup_ops.winnow_near_dup_pairs_incremental(
+        new_docs, index, k=3, w=4, min_shared=2)
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Zipf slope (OLS on ln freq vs ln rank, deterministic
     ranks) — vocabulary-health audit; near -1 for natural text."""
@@ -654,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_information": q_self_information,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "winnow_incremental": q_winnow_incremental,
         "zipf_slope": q_zipf_slope,
         "pii_scrub_stats": q_pii_scrub_stats,
         "repetition_stats": q_repetition_stats,
@@ -870,6 +896,13 @@ def oracle_sql() -> dict[str, str]:
         "self_information": text_ops.self_information_sql(),
         "winnow_fingerprints": text_ops.winnow_fingerprints_sql(k=3, w=4),
         "winnow_near_dup": dedup_ops.winnow_near_dup_pairs_sql(k=3, w=4, min_shared=2),
+        "winnow_incremental": dedup_ops.winnow_near_dup_pairs_incremental_sql(
+            new_docs_pred=(
+                "CAST(regexp_replace({d}, '^dup_', '') AS BIGINT) % 100 = 0"
+            ),
+            k=3, w=4, min_shared=2,
+            source_sql=_PLANTED_DOCS_SQL,
+        ),
         "zipf_slope": text_ops.zipf_slope_sql(),
         "dedup_clusters": dedup_ops.connected_components_sql(
             dedup_ops.minhash_dedup_pairs_sql(

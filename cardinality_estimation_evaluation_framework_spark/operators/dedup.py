@@ -1419,3 +1419,97 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {int(min_shared)}
 """
+
+
+def winnow_near_dup_pairs_incremental(new_docs: DataFrame,
+                                      existing_fps: DataFrame,
+                                      k: int = 3, w: int = 4,
+                                      min_shared: int = 2,
+                                      max_bucket_size: int = 100_000,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      persist: bool = True) -> DataFrame:
+    """Incremental winnowing near-dup for append-only corpora — the MOSS
+    analogue of :func:`minhash_dedup_pairs_incremental`. Fingerprints are
+    computed for ``new_docs`` ONLY and joined against a persisted
+    fingerprint index ``existing_fps``: the distinct (doc_id, fp) table
+    produced by ``winnow_fingerprints(old).select("doc_id",
+    "fp").distinct()`` with the SAME k/w (typically written to parquet by
+    the previous run — it is exactly what the full pipeline shuffles
+    anyway, so the index costs nothing extra to keep).
+
+    Returns exactly the pairs a full recompute over old ∪ new would emit
+    that touch >= 1 new doc; old×old pairs were already reported by the
+    run that built the index. Equivalence contract (pinned in pytest and
+    by the winnow_incremental oracle row): pairs_full(old ∪ new) ==
+    pairs_full(old) ∪ incremental(new, fps(old)).
+
+    Scale posture: the expensive per-doc fingerprint selection runs over
+    the new docs only; the hot-fingerprint cap is counted over the UNION
+    table so cap decisions match the full run; the candidate join keys
+    its left side by the (small) new-doc fingerprints so an old×old
+    fingerprint bucket never pairs internally. doc_ids must be unique
+    across old ∪ new (append-only contract).
+    """
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    new_fps = (
+        winnow_fingerprints(new_docs, k=k, w=w, text_col=text_col,
+                            id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    persisted = []
+    if persist:
+        new_fps = new_fps.persist()
+        persisted.append(new_fps)
+    all_fps = existing_fps.select("doc_id", "fp").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new_fps.withColumn("is_new", F.lit(True)))
+    if max_bucket_size is not None:
+        all_fps = _cap_hot_buckets(all_fps, ["fp"], max_bucket_size)
+    a = all_fps.where("is_new").alias("a")
+    b = all_fps.alias("b")
+    # (new, new) pairs arrive from both sides of the join — normalize to
+    # (min, max) and distinct per fp before counting shared fingerprints
+    out = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp"),
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return _attach_persisted(out, persisted)
+
+
+def winnow_near_dup_pairs_incremental_sql(
+        new_docs_pred: str, k: int = 3, w: int = 4, min_shared: int = 2,
+        max_bucket_size: int = 100_000,
+        source_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB oracle twin of :func:`winnow_near_dup_pairs_incremental`.
+
+    ``source_sql`` is the FULL corpus (old ∪ new) and ``new_docs_pred``
+    a SQL boolean template with a ``{{d}}`` placeholder marking new docs.
+    The twin is the full-recompute pipeline restricted to pairs with
+    >= 1 new side — a DIFFERENT derivation from the engine's new-keyed
+    join, so agreement pins the incremental algebra."""
+    full = winnow_near_dup_pairs_sql(
+        k=k, w=w, min_shared=min_shared, max_bucket_size=max_bucket_size,
+        source_sql=source_sql)
+    pa = new_docs_pred.format(d="doc_a")
+    pb = new_docs_pred.format(d="doc_b")
+    return f"""
+SELECT doc_a, doc_b, n_shared FROM ({full})
+WHERE ({pa}) OR ({pb})
+"""

@@ -154,6 +154,79 @@ def test_minhash_incremental_equals_full_recompute(spark):
     assert not any(a not in new_ids and b not in new_ids for a, b, _ in inc)
 
 
+def test_winnow_incremental_equals_full_recompute(spark):
+    """Equivalence contract for the MOSS analogue: pairs_full(old ∪ new)
+    == pairs_full(old) ∪ incremental(new, fps(old)) — dup groups span
+    the split so old-old, old-new and new-new candidates all occur."""
+    import random
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(24):
+        body = " ".join(rng.choice(vocab) for _ in range(50))
+        rows.append((f"d{i:02d}", body))
+        if i % 3 == 0:
+            rows.append((f"c{i:02d}", body + " tail words here"))
+    new_ids = {d for d, _ in rows if d.startswith("c") or d >= "d16"}
+    all_df = spark.createDataFrame(rows, "doc_id string, text string")
+    old_df = all_df.where(~F.col("doc_id").isin(list(new_ids)))
+    new_df = all_df.where(F.col("doc_id").isin(list(new_ids)))
+    kw = dict(k=3, w=4, min_shared=2)
+    full = {(r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in dedup.winnow_near_dup_pairs(all_df, **kw).collect()}
+    old_only = {(r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in dedup.winnow_near_dup_pairs(old_df, **kw).collect()}
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    index = (winnow_fingerprints(old_df, k=3, w=4)
+             .select("doc_id", "fp").distinct())
+    inc = {(r["doc_a"], r["doc_b"], r["n_shared"])
+           for r in dedup.winnow_near_dup_pairs_incremental(
+               new_df, index, **kw).collect()}
+    assert full == old_only | inc
+    assert inc and all(a in new_ids or b in new_ids for a, b, _ in inc)
+    assert not any(a not in new_ids and b not in new_ids for a, b, _ in inc)
+
+
+def test_winnow_incremental_duckdb_twin(spark):
+    """Incremental winnow vs the full-pipeline DuckDB twin with the
+    new-docs predicate — pins the new-keyed join algebra value-exactly,
+    including a cap tight enough to drop a hot fingerprint."""
+    import duckdb
+    import pandas as pd
+    import pandas.testing as pdt
+    import random
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(200)]
+    rows = []
+    for i in range(18):
+        body = " ".join(rng.choice(vocab) for _ in range(35))
+        rows.append((f"{i:03d}", body))
+        if i % 2 == 0:
+            rows.append((f"9{i:03d}", body + " zz yy xx"))
+    all_df = spark.createDataFrame(rows, "doc_id string, text string")
+    pred = "length({d}) = 4"
+    new_df = all_df.where(F.length("doc_id") == 4)
+    old_df = all_df.where(F.length("doc_id") != 4)
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    index = (winnow_fingerprints(old_df, k=3, w=4)
+             .select("doc_id", "fp").distinct())
+    kw = dict(k=3, w=4, min_shared=2, max_bucket_size=6)
+    got = (dedup.winnow_near_dup_pairs_incremental(new_df, index, **kw)
+           .toPandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (con.execute(dedup.winnow_near_dup_pairs_incremental_sql(
+        new_docs_pred=pred, **kw)).df()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pdt.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    assert len(got) > 0
+
+
 def test_minhash_incremental_duckdb_twin(spark):
     """Portable-mode incremental vs the full-pipeline DuckDB twin with the
     new-docs predicate — pins the new-keyed join algebra value-exactly."""

@@ -338,6 +338,58 @@ def fam_winnow_pairs(rng, spark, con):
     return f"k={k} w={w} ms={ms} cap={cap} docs={len(pdf)}", compare(got, con, sql)
 
 
+def fam_minhash_incremental(rng, spark, con):
+    """Incremental minhash vs the full-pipeline twin restricted by the
+    new-docs predicate. rand_docs ids are stringified ints, so the split
+    is a random modulus over the numeric id — dup groups land on both
+    sides of the split at random."""
+    num_hashes = rng.randint(4, 32)
+    bands = rng.randint(1, num_hashes)
+    threshold = round(rng.uniform(0.0, 0.7), 2)
+    n = rng.randint(1, 3)
+    seed = rng.randrange(0, 10**6)
+    mod = rng.randint(2, 4)
+    docs, pdf = rand_docs(rng, spark)
+    pred = f"CAST({{d}} AS BIGINT) % {mod} = 0"
+    old_df = docs.where(F.col("doc_id").cast("long") % mod != 0)
+    new_df = docs.where(F.col("doc_id").cast("long") % mod == 0)
+    index = dedup_ops.minhash_signatures(
+        old_df, num_hashes, n, seed, portable=True)
+    got = dedup_ops.minhash_dedup_pairs_incremental(
+        new_df, index, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=n, seed=seed, persist=False, portable=True)
+    con.register("documents", pdf)
+    sql = dedup_ops.minhash_dedup_pairs_incremental_sql(
+        new_docs_pred=pred, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=n, seed=seed)
+    desc = f"k={num_hashes} bands={bands} t={threshold} mod={mod}"
+    return desc, compare(got, con, sql)
+
+
+def fam_winnow_incremental(rng, spark, con):
+    """Incremental winnow (MOSS) vs the full twin restricted by the
+    new-docs predicate, including tight caps."""
+    k = rng.randint(1, 3)
+    w = rng.randint(1, 5)
+    ms = rng.randint(1, 3)
+    cap = rng.choice([2, 5, 100000])
+    mod = rng.randint(2, 4)
+    docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(8, 30))
+    pred = f"CAST({{d}} AS BIGINT) % {mod} = 0"
+    old_df = docs.where(F.col("doc_id").cast("long") % mod != 0)
+    new_df = docs.where(F.col("doc_id").cast("long") % mod == 0)
+    index = (text_ops.winnow_fingerprints(old_df, k=k, w=w)
+             .select("doc_id", "fp").distinct())
+    got = dedup_ops.winnow_near_dup_pairs_incremental(
+        new_df, index, k=k, w=w, min_shared=ms, max_bucket_size=cap,
+        persist=False)
+    con.register("documents", pdf)
+    sql = dedup_ops.winnow_near_dup_pairs_incremental_sql(
+        new_docs_pred=pred, k=k, w=w, min_shared=ms, max_bucket_size=cap)
+    desc = f"k={k} w={w} ms={ms} cap={cap} mod={mod}"
+    return desc, compare(got, con, sql)
+
+
 def fam_zipf(rng, spark, con):
     docs, pdf = rand_docs(rng, spark, n_docs=rng.randint(4, 40))
     got = text_ops.zipf_slope_by_source(docs)
@@ -718,6 +770,8 @@ FAMILIES = [
     ("self_information", fam_self_info),
     ("winnow", fam_winnow),
     ("winnow_pairs", fam_winnow_pairs),
+    ("minhash_incremental", fam_minhash_incremental),
+    ("winnow_incremental", fam_winnow_incremental),
     ("zipf_slope", fam_zipf),
     ("fingerprint", fam_fingerprint),
     ("repetition_stats", fam_repetition),
