@@ -691,6 +691,74 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     )
 
 
+def winnow_fp_array(text_col: str = "text", k: int = 3, w: int = 4) -> Column:
+    """Per-ROW distinct winnowing fingerprint array — the same selection
+    as :func:`winnow_fingerprints` but as one column expression with no
+    explode, no shuffle and no cross-row distinct (the per-(doc, fp)
+    dedup collapses to array_distinct inside the row). This is the form
+    a STREAMING pipeline needs: Structured Streaming forbids the global
+    distinct, and a stateful operator wants (doc, fp) events computed
+    row-locally.
+
+    Both the word array and the gram-hash array are bound as transform
+    lambda variables (nested): written as stacked selects or one flat
+    expression, CollapseProject would inline filter(split(text)) — and
+    then the whole hash transform — into every element access,
+    re-tokenizing the document per gram element (the O(k*n^2) hazard
+    measured at 40+ CPU-minutes for one 1M-token doc; see
+    winnow_fingerprints).
+    """
+    from cardinality_estimation_evaluation_framework_spark.hashing import (
+        md5_u64_spark,
+    )
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+    def hs_of(wd):
+        gidx = F.when(
+            F.size(wd) >= k, F.sequence(F.lit(0), F.size(wd) - k)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            gidx,
+            lambda i: F.shiftrightunsigned(md5_u64_spark(gram_at(wd, i, k)), 11),
+        )
+
+    def fps_of(hs):
+        wlen = F.least(F.lit(w), F.size(hs))
+        starts = F.when(
+            F.size(hs) > 0, F.sequence(F.lit(1), F.size(hs) - wlen + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        offsets = F.when(wlen >= 2, F.sequence(F.lit(1), wlen - 1)).otherwise(
+            F.array().cast("array<int>"))
+        sel = F.transform(
+            starts,
+            lambda j: F.aggregate(
+                offsets,
+                F.struct(j.alias("pos"), F.element_at(hs, j).alias("fp")),
+                lambda acc, t: F.when(
+                    F.element_at(hs, j + t) < acc["fp"],
+                    F.struct((j + t).alias("pos"),
+                             F.element_at(hs, j + t).alias("fp")),
+                ).otherwise(acc),
+            ),
+        )
+        return F.array_distinct(F.transform(sel, lambda s: s["fp"]))
+
+    return F.element_at(
+        F.transform(
+            F.array(words),
+            lambda wd: F.element_at(
+                F.transform(F.array(hs_of(wd)), fps_of), 1
+            ),
+        ),
+        1,
+    )
+
+
 def winnow_fingerprints_sql(k: int = 3, w: int = 4,
                             text_col: str = "text", id_col: str = "doc_id",
                             source_sql: str = "SELECT * FROM documents",

@@ -366,3 +366,85 @@ def windowed_sketch_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_winnow_near_dup(
+    stream_df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_bucket_size: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming MOSS near-dup: emit (doc_a, doc_b, fp) shared-fingerprint
+    EVENTS as documents arrive — the streaming twin of
+    ``dedup.winnow_near_dup_pairs`` (consumers count events per pair and
+    keep pairs with >= min_shared, exactly the batch HAVING).
+
+    Shape: each row's distinct fingerprint set is computed ROW-LOCALLY
+    (``text.winnow_fp_array`` — no cross-row distinct, which Structured
+    Streaming forbids), exploded to (fp, doc_id) events, and keyed by fp
+    into ``applyInPandasWithState``. State per fingerprint = the doc_ids
+    seen (sorted, bounded), so a new doc pairs against the full stream
+    history at O(|bucket|) cost with no rescan of old data.
+
+    Cap semantics differ from batch BY NECESSITY and are documented: the
+    batch ``_cap_hot_buckets`` drops an over-cap bucket RETROSPECTIVELY
+    (it sees final bucket sizes); a stream cannot. Here a fingerprint
+    SATURATES when its stored membership would exceed ``max_bucket_size``:
+    from then on it emits nothing and stores nothing (state stays O(cap)
+    per fp), but pairs already emitted stand. For every fingerprint whose
+    lifetime membership stays <= cap — i.e. all of them under the batch
+    cap — the emitted event set equals the batch kept self-join exactly
+    (pinned in test_checkpoint_streaming).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        winnow_fp_array,
+    )
+
+    events = stream_df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(winnow_fp_array(text_col, k=k, w=w)).alias("fp"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            stored, saturated = list(state.get[0]), bool(state.get[1])
+        else:
+            stored, saturated = [], False
+        batch_ids: set[str] = set()
+        for pdf in pdfs:
+            batch_ids.update(pdf["doc_id"].astype(str).tolist())
+        new_ids = sorted(batch_ids.difference(stored))
+        if not new_ids:
+            return
+        if saturated or len(stored) + len(new_ids) > max_bucket_size:
+            # over cap: saturate — emit nothing more for this fp, keep no
+            # membership (state is O(1) from here on)
+            state.update(([], True))
+            return
+        pairs_a, pairs_b = [], []
+        for i, nid in enumerate(new_ids):
+            for old in stored:  # new x history
+                a, b = (old, nid) if old < nid else (nid, old)
+                pairs_a.append(a)
+                pairs_b.append(b)
+            for nid2 in new_ids[i + 1:]:  # new x new (same batch)
+                pairs_a.append(nid)
+                pairs_b.append(nid2)
+        state.update((sorted(stored + new_ids), False))
+        if pairs_a:
+            yield pd.DataFrame(
+                {"fp": key[0], "doc_a": pairs_a, "doc_b": pairs_b}
+            )
+
+    return events.groupBy("fp").applyInPandasWithState(
+        update,
+        outputStructType="fp long, doc_a string, doc_b string",
+        stateStructType="ids array<string>, saturated boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

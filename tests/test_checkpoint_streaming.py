@@ -318,3 +318,98 @@ def test_streaming_quantile_sketches_match_batch(spark, tmp_path):
             assert abs(v / 9973 - qq) < 0.05, (name, qq, v)
             # stream build agrees with the batch build over the same data
             assert abs(v - bv) / 9973 < 0.05, (name, qq, v, bv)
+
+
+def test_streaming_winnow_near_dup_matches_batch(spark, tmp_path):
+    """Shared-fingerprint events across micro-batches == the batch kept
+    self-join triple set (under-cap fps), including cross-batch pairs;
+    aggregating events per pair reproduces winnow_near_dup_pairs. A
+    saturated fingerprint (tiny cap) stops emitting and keeps O(1) state."""
+    import random
+
+    from cardinality_estimation_evaluation_framework_spark.operators import (
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+    from cardinality_estimation_evaluation_framework_spark.streaming.stream_sketch import (
+        streaming_winnow_near_dup,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(150)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(30))  # noqa: E731
+    base = [mk() for _ in range(8)]
+    # batch 0: originals; batch 1: near-dups of them (cross-batch pairs)
+    rows0 = [(f"a{i}", base[i]) for i in range(8)]
+    rows1 = [(f"b{i}", base[i] + " tail bit") for i in range(8)]
+    rows1 += [(f"c{i}", mk()) for i in range(4)]
+    src = tmp_path / "wn_src"
+    os.makedirs(src)
+    spark.createDataFrame(rows0, "doc_id string, text string").write.parquet(
+        str(src / "b0"))
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        str(src / "b*"))
+    q = (
+        streaming_winnow_near_dup(stream, k=3, w=4)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("wn_stream")
+        .option("checkpointLocation", str(tmp_path / "wn_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, "doc_id string, text string").write.parquet(
+            str(src / "b1"))
+        q.processAllAvailable()
+        got = {(r["fp"], r["doc_a"], r["doc_b"])
+               for r in spark.sql("SELECT * FROM wn_stream").collect()}
+    finally:
+        q.stop()
+    all_df = spark.createDataFrame(
+        rows0 + rows1, "doc_id string, text string")
+    fps = [(r["doc_id"], r["fp"]) for r in
+           text_ops.winnow_fingerprints(all_df, k=3, w=4)
+           .select("doc_id", "fp").distinct().collect()]
+    by_fp: dict = {}
+    for d, f in fps:
+        by_fp.setdefault(f, set()).add(d)
+    want = {(f, a, b) for f, ds in by_fp.items()
+            for a in ds for b in ds if a < b}
+    assert got == want and got  # includes cross-batch (a_i, b_i) pairs
+    # event counts per pair == batch n_shared
+    from collections import Counter
+    per_pair = Counter((a, b) for _, a, b in got)
+    batch_pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in
+                   dedup_ops.winnow_near_dup_pairs(
+                       all_df, k=3, w=4, min_shared=1).collect()}
+    assert dict(per_pair) == batch_pairs
+
+    # saturation: cap=2, three identical docs in one fp bucket -> the
+    # third arrival pushes past cap, fp saturates, no further emits
+    src2 = tmp_path / "wn_src2"
+    os.makedirs(src2)
+    same = "alpha beta gamma delta epsilon zeta"
+    spark.createDataFrame(
+        [("x1", same), ("x2", same)], "doc_id string, text string"
+    ).write.parquet(str(src2 / "b0"))
+    stream2 = spark.readStream.schema("doc_id string, text string").parquet(
+        str(src2 / "b*"))
+    q2 = (
+        streaming_winnow_near_dup(stream2, k=3, w=4, max_bucket_size=2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("wn_stream2")
+        .option("checkpointLocation", str(tmp_path / "wn_ck2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        n0 = spark.sql("SELECT count(*) c FROM wn_stream2").collect()[0]["c"]
+        assert n0 > 0  # x1-x2 pairs emitted while under cap
+        spark.createDataFrame(
+            [("x3", same), ("x4", same)], "doc_id string, text string"
+        ).write.parquet(str(src2 / "b1"))
+        q2.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM wn_stream2").collect()[0]["c"]
+        assert n1 == n0  # saturated: x3/x4 add nothing
+    finally:
+        q2.stop()
