@@ -61,6 +61,16 @@ def main() -> None:
     docs = dedup.filter_dup_spans(docs, max_dup_frac=0.8, window=8)
     n2b = docs.count()
 
+    # 2c. append-only refresh path (what a daily ingest runs instead of
+    # 1+2): persist the signature / fingerprint indexes this run built,
+    # and dedup ONLY the new docs against them next time —
+    #   sigs  = dedup.minhash_signatures(docs, ...).write.parquet(ix)
+    #   pairs = dedup.minhash_dedup_pairs_incremental(new_docs,
+    #               spark.read.parquet(ix), ...)
+    # (same contract for winnowing via winnow_near_dup_pairs_incremental;
+    # for a continuous ingest stream, streaming_winnow_near_dup keeps the
+    # fingerprint membership as fp-keyed streaming state instead.)
+
     # 3. quality + language filters (pure Catalyst, codegen)
     docs = text.with_quality_score(docs).where(F.col("quality_score") >= 0.3)
     docs = text.with_lang_id(docs).where(F.col("lang_pred") == "en")
