@@ -244,10 +244,13 @@ def tree_merge(
             .applyInPandas(_merge_fn(kernel), schema=_PARTIAL_SCHEMA)
         )
         n = width
-    rows = cur.collect()
-    if not rows:
+    # Arrow transfer for the final fetch: packed states are binary blobs
+    # (KB-MB each) and the py4j row path moves them an order of magnitude
+    # slower than Arrow batches (guide §6 "Arrow for driver transfers").
+    raws = cur.select("sketch").toPandas()["sketch"].tolist()
+    if not raws:
         return kernel.empty()
-    spec_checked = kernel.merge_packed([r["sketch"] for r in rows])
+    spec_checked = kernel.merge_packed(raws)
     return kernel.unpack(spec_checked)
 
 

@@ -245,26 +245,66 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     (:func:`minhash_dedup_pairs_sql`) can pin the whole pipeline —
     splitmix64 remixes, min-scatter kernel, banding, verification —
     value-exactly. The numpy kernel is IDENTICAL on both paths.
+
+    Arrow shape (guide §4): gram hashes cross the Python boundary as ONE
+    ``array<long>`` row per document, not one row per gram — the doc_id
+    string travels once per doc instead of once per gram (~50x fewer Arrow
+    rows on 3-gram text), the explode disappears from the plan, and the
+    per-gram hash values are bit-identical to the exploded form so
+    signatures are unchanged.
     """
-    gram_hash = md5_u64_spark(F.col("gram")) if portable else F.xxhash64("gram")
-    grams = word_ngrams(
-        _ensure_parallelism(docs), n, text_col, id_col, distinct=False
-    ).select("doc_id", gram_hash.alias("gh"))
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        gram_at,
+    )
+
+    gram_hash = md5_u64_spark if portable else F.xxhash64
+
+    def ghs_of(wd):
+        gidx = F.when(
+            F.size(wd) >= n, F.sequence(F.lit(0), F.size(wd) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(gidx, lambda i: gram_hash(gram_at(wd, i, n)))
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    # bind the word array as a transform lambda variable so CollapseProject
+    # cannot inline filter(split(text)) into every element_at (the measured
+    # O(k*n^2) hazard — see winnow_fingerprints)
+    ghs = F.element_at(F.transform(F.array(words), ghs_of), 1)
+    doc_ghs = _ensure_parallelism(docs).select(
+        F.col(id_col).cast("string").alias("doc_id"), ghs.alias("ghs")
+    )
 
     def per_batch(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
-            gh = pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
-            sigs = np.full((len(uniq), num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+            cells = pdf["ghs"].to_numpy()
+            sizes = np.fromiter(
+                (0 if c is None else len(c) for c in cells),
+                dtype=np.int64, count=len(cells),
+            )
+            keep = sizes > 0
+            if not keep.any():
+                continue
+            uniq = pdf["doc_id"].to_numpy()[keep]
+            ksizes = sizes[keep]
+            gh = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in cells[keep]]
+            ).view(np.uint64)
+            codes = np.repeat(np.arange(len(uniq)), ksizes)
+            # (k, ndocs) layout: each remix scatters into a CONTIGUOUS row
+            sigs = np.full(
+                (num_hashes, len(uniq)), np.iinfo(np.int64).max, dtype=np.int64
+            )
             for k in range(num_hashes):
                 hk = splitmix64(gh, seed * 1_000_003 + k).view(np.int64)
-                np.minimum.at(sigs[:, k], codes, hk)
-            yield pd.DataFrame({"doc_id": uniq, "sig": list(sigs)})
+                np.minimum.at(sigs[k], codes, hk)
+            yield pd.DataFrame({"doc_id": uniq, "sig": list(sigs.T.copy())})
 
     # partial per input partition, then min-merge per doc (mins are associative)
-    partial = grams.mapInPandas(per_batch, schema="doc_id string, sig array<long>")
+    partial = doc_ghs.mapInPandas(per_batch, schema="doc_id string, sig array<long>")
     return partial.groupBy("doc_id").agg(
         F.array(*[F.min(F.col("sig")[i]) for i in range(num_hashes)]).alias("sig")
     )
@@ -572,13 +612,18 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     :func:`simhash_near_dup_pairs_sql` can pin the whole pipeline (splitmix
     remix, byte-histogram bit counting, sign-sum pack, chunk LSH) against a
     DuckDB oracle; the numpy kernel is identical on both paths."""
-    tok_hash = md5_u64_spark(F.col("tok")) if portable else F.xxhash64("tok")
-    words = _ensure_parallelism(docs).select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("tok"),
-    ).select("doc_id", tok_hash.alias("th"))
+    tok_hash = md5_u64_spark if portable else F.xxhash64
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    # Arrow shape (guide §4): token hashes cross as ONE array<long> per doc
+    # (doc_id travels once per doc, not once per token); per-token hash
+    # values are bit-identical to the exploded form. `words` appears once
+    # as the transform input, so it is evaluated once per row.
+    ths = F.transform(words, lambda t: tok_hash(t))
+    doc_ths = _ensure_parallelism(docs).select(
+        F.col(id_col).cast("string").alias("doc_id"), ths.alias("ths")
+    )
 
     byte_bits = np.unpackbits(
         np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
@@ -588,12 +633,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
-            codes = codes.astype(np.int64)
+            cells = pdf["ths"].to_numpy()
+            sizes = np.fromiter(
+                (0 if c is None else len(c) for c in cells),
+                dtype=np.int64, count=len(cells),
+            )
+            keep = sizes > 0
+            if not keep.any():
+                continue
+            uniq = pdf["doc_id"].to_numpy()[keep]
+            ksizes = sizes[keep]
             ndocs = len(uniq)
-            th = splitmix64(pdf["th"].to_numpy(dtype=np.int64).view(np.uint64), seed)
+            raw = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in cells[keep]]
+            ).view(np.uint64)
+            codes = np.repeat(np.arange(ndocs), ksizes)
+            th = splitmix64(raw, seed)
             tb = th.view(np.uint8).reshape(-1, 8)  # little-endian bytes
-            sizes = np.bincount(codes, minlength=ndocs)
             acc = np.empty((ndocs, 64), dtype=np.int64)
             base = codes << 8
             for byte in range(8):
@@ -601,10 +657,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                     base + tb[:, byte], minlength=ndocs * 256
                 ).reshape(ndocs, 256)
                 acc[:, byte * 8:(byte + 1) * 8] = hist @ byte_bits
-            acc = 2 * acc - sizes[:, None]
+            acc = 2 * acc - ksizes[:, None]
             yield pd.DataFrame({"doc_id": uniq, "acc": list(acc)})
 
-    partial = words.mapInPandas(per_batch, schema="doc_id string, acc array<long>")
+    partial = doc_ths.mapInPandas(per_batch, schema="doc_id string, acc array<long>")
     # merge partials: sum bit-accumulators per doc, then re-pack
     merged = partial.groupBy("doc_id").agg(
         F.array(*[F.sum(F.col("acc")[i]) for i in range(64)]).alias("acc")
@@ -926,14 +982,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     for _ in range(max_iter):
         rounds += 1
         t0 = time.time()
-        neighbor = (
-            edges.join(labels, edges["b"] == labels["n"])
-            .select(F.col("a").alias("n"), "label")
-        )
+        if rounds == 1:
+            # labels are the identity map before round 1, so the neighbor
+            # labels ARE the edge endpoints — the edges⋈labels join would
+            # only rename columns. Saves one join stage per CC call.
+            neighbor = edges.select(F.col("a").alias("n"),
+                                    F.col("b").alias("label"))
+        else:
+            neighbor = (
+                edges.join(labels.select("n", "label"),
+                           edges["b"] == labels["n"])
+                .select(F.col("a").alias("n"), "label")
+            )
+        # carry each node's pre-round label ("old") through the pipeline:
+        # every node appears exactly once on the labels side, so min/max
+        # aggregate it back out and the convergence check below becomes a
+        # shuffle-free filter over the checkpointed result instead of a
+        # join job per round.
         propagated = (
-            labels.union(neighbor)
+            labels.select("n", "label", F.col("label").alias("old"))
+            .union(neighbor.select(
+                "n", "label", F.lit(None).cast("string").alias("old")))
             .groupBy("n")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # pointer jump (path doubling): label := label[label]. Labels are
         # node ids, every node id is present in the label table, and
@@ -943,15 +1014,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         )
         new_labels = (
             propagated.join(lmap, propagated["label"] == lmap["_ln"], "left")
-            .select("n", F.coalesce("_ll", "label").alias("label"))
+            .select("n", F.coalesce("_ll", "label").alias("label"), "old")
             .localCheckpoint()  # cut lineage (eager: materializes here)
         )
         t1 = time.time()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "n")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        if rounds == 1:
+            # an edge (a, b) with a != b always lowers max(a, b)'s label, so
+            # round 1 converges only when the edge set is empty — and then
+            # every later job is a no-op over an empty cached frame. Skip
+            # the count; round 2 performs the first real convergence check.
+            changed = -1
+        else:
+            changed = new_labels.where(F.col("label") != F.col("old")).count()
         round_secs.append((t1 - t0, time.time() - t1))
         labels.unpersist()
         labels = new_labels

@@ -26,7 +26,63 @@ import numpy as np
 
 State = dict[str, np.ndarray]
 
-_MAGIC = b"CEEF1"
+_MAGIC_V1 = b"CEEF1"
+_MAGIC = b"CEEF2"
+
+# Per-array codecs (CEEF2). Partial sketch states are the ONLY payload the
+# aggregation harness shuffles and collects, so their wire size directly
+# bounds shuffle bytes and the driver fetch (a 64-partition suite build
+# collects 64 states). Two lossless encodings cover the fat cases:
+#   tag 1: float64 registers whose values are exactly {0, 1} (crisp OR
+#          registers — classic/ADBF Bloom before noising) -> bit-packed,
+#          64x smaller. Noised/fractional states fall through to raw.
+#   tag 2: int64 tables whose values fit a narrower int (count-min partial
+#          counts, legion counters) -> downcast, 2-8x smaller. The original
+#          dtype travels alongside so decode restores it exactly.
+# Both decode bit-exactly; merge semantics are untouched.
+_TAG_RAW, _TAG_BITS, _TAG_CAST = 0, 1, 2
+# only probe arrays big enough for the scan to pay for itself
+_ENCODE_MIN_SIZE = 1024
+
+
+def _write_array(buf: io.BytesIO, arr: np.ndarray) -> None:
+    arr = np.ascontiguousarray(arr)
+    if arr.size >= _ENCODE_MIN_SIZE and arr.dtype == np.float64:
+        if ((arr == 0.0) | (arr == 1.0)).all():
+            buf.write(bytes([_TAG_BITS]))
+            np.save(buf, np.asarray(arr.shape, dtype=np.int64),
+                    allow_pickle=False)
+            np.save(buf, np.packbits(arr.ravel() != 0.0, bitorder="little"),
+                    allow_pickle=False)
+            return
+    if arr.size >= _ENCODE_MIN_SIZE and arr.dtype.kind == "i" and arr.dtype.itemsize > 1:
+        amin, amax = int(arr.min()), int(arr.max())
+        for cand in (np.int8, np.int16, np.int32):
+            info = np.iinfo(cand)
+            if cand().itemsize < arr.dtype.itemsize and info.min <= amin and amax <= info.max:
+                buf.write(bytes([_TAG_CAST]))
+                dt = arr.dtype.str.encode()
+                buf.write(len(dt).to_bytes(1, "little"))
+                buf.write(dt)
+                np.save(buf, arr.astype(cand), allow_pickle=False)
+                return
+    buf.write(bytes([_TAG_RAW]))
+    np.save(buf, arr, allow_pickle=False)
+
+
+def _read_array(buf: io.BytesIO) -> np.ndarray:
+    tag = buf.read(1)[0]
+    if tag == _TAG_BITS:
+        shape = tuple(np.load(buf, allow_pickle=False))
+        packed = np.load(buf, allow_pickle=False)
+        n = int(np.prod(shape)) if shape else 1
+        bits = np.unpackbits(packed, count=n, bitorder="little")
+        return bits.astype(np.float64).reshape(shape)
+    if tag == _TAG_CAST:
+        dlen = buf.read(1)[0]
+        dtype = np.dtype(buf.read(dlen).decode())
+        return np.load(buf, allow_pickle=False).astype(dtype)
+    return np.load(buf, allow_pickle=False)
 
 
 def pack_state(spec: dict[str, Any], state: State) -> bytes:
@@ -46,14 +102,16 @@ def pack_state(spec: dict[str, Any], state: State) -> bytes:
         nb = name.encode()
         buf.write(len(nb).to_bytes(2, "little"))
         buf.write(nb)
-        np.save(buf, np.ascontiguousarray(state[name]), allow_pickle=False)
+        _write_array(buf, state[name])
     return buf.getvalue()
 
 
 def unpack_state(raw: bytes) -> tuple[dict[str, Any], State]:
     buf = io.BytesIO(raw)
-    if buf.read(5) != _MAGIC:
+    magic = buf.read(5)
+    if magic not in (_MAGIC, _MAGIC_V1):
         raise ValueError("not a packed sketch state")
+    legacy = magic == _MAGIC_V1
     hlen = int.from_bytes(buf.read(4), "little")
     spec = json.loads(buf.read(hlen).decode())
     n = int.from_bytes(buf.read(4), "little")
@@ -61,7 +119,10 @@ def unpack_state(raw: bytes) -> tuple[dict[str, Any], State]:
     for _ in range(n):
         nlen = int.from_bytes(buf.read(2), "little")
         name = buf.read(nlen).decode()
-        state[name] = np.load(buf, allow_pickle=False)
+        if legacy:
+            state[name] = np.load(buf, allow_pickle=False)
+        else:
+            state[name] = _read_array(buf)
     return spec, state
 
 
