@@ -145,8 +145,10 @@ def sketch_array_partials(
     """
     proj = df.select(F.col(tokens_col).alias("tokens"))
     sc = proj.sparkSession.sparkContext
-    if proj.rdd.getNumPartitions() < sc.defaultParallelism:
-        proj = proj.repartition(sc.defaultParallelism)
+    nparts = proj.rdd.getNumPartitions()
+    if nparts < sc.defaultParallelism:
+        nparts = sc.defaultParallelism
+        proj = proj.repartition(nparts)
     np_dtype = np.float64 if getattr(kernel, "input_dtype", "int64") == "float64" else np.int64
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,7 +168,12 @@ def sketch_array_partials(
             gid = ctx.partitionId() if ctx is not None else 0
             yield pd.DataFrame({"gid": [gid], "sketch": [kernel.pack(state)]})
 
-    return proj.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+    out = proj.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+    # the partial count is the stage-1 partition count, already known here;
+    # recording it saves tree_merge a driver-side RDD conversion of the
+    # mapInPandas plan (measured ~0.5 s of pure planning per sketch call)
+    out._ceef_nparts = nparts  # type: ignore[attr-defined]
+    return out
 
 
 def sketch_tokens(
@@ -191,10 +198,12 @@ def sketch_partials(
     nparts = items.rdd.getNumPartitions()
     if input_partitions:
         items = items.repartition(input_partitions)
+        nparts = input_partitions
     elif nparts < (default_par := items.sparkSession.sparkContext.defaultParallelism):
         # a 100 TB scan arrives with thousands of splits; a local single-file
         # read arrives with one — spread it so stage 1 uses every core
         items = items.repartition(default_par)
+        nparts = default_par
 
     np_dtype = np.float64 if getattr(kernel, "input_dtype", "int64") == "float64" else np.int64
 
@@ -210,7 +219,10 @@ def sketch_partials(
             gid = ctx.partitionId() if ctx is not None else 0
             yield pd.DataFrame({"gid": [gid], "sketch": [kernel.pack(state)]})
 
-    return items.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+    out = items.mapInPandas(build, schema=_PARTIAL_SCHEMA)
+    # known stage-1 partition count — saves tree_merge an RDD conversion
+    out._ceef_nparts = nparts  # type: ignore[attr-defined]
+    return out
 
 
 def _merge_fn(kernel: SketchKernel):
@@ -235,7 +247,9 @@ def tree_merge(
     expensive stage 1 per level).
     """
     cur = partials
-    n = partials.rdd.getNumPartitions()
+    n = getattr(partials, "_ceef_nparts", None)
+    if n is None:
+        n = partials.rdd.getNumPartitions()
     while n > collect_threshold:
         width = max(1, math.ceil(n / fanout))
         cur = (
@@ -308,9 +322,14 @@ def grouped_sketch_partials(
         counts: dict[tuple, int] = {}
         for pdf in batches:
             vals = pdf["item"].to_numpy(dtype=np_dtype, na_value=0)
-            keys = pd.MultiIndex.from_frame(pdf[key_cols])
             # vectorized per-key split: sort by key codes, slice runs
-            codes, uniq = pd.factorize(keys, sort=False)
+            # (single-key fast path skips the MultiIndex build)
+            if len(key_cols) == 1:
+                codes, uniq = pd.factorize(pdf[key_cols[0]], sort=False)
+            else:
+                codes, uniq = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[key_cols]), sort=False
+                )
             order = np.argsort(codes, kind="stable")
             sorted_codes = codes[order]
             sorted_vals = vals[order]

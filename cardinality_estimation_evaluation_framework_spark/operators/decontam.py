@@ -50,6 +50,40 @@ def bloom_kernel(m: int = 1 << 22, k: int = 4, seed: int = 0) -> BloomKernel:
     return BloomKernel(dist_kind="uniform", m=m, num_hashes=k, seed=seed)
 
 
+def _gram_hash_arrays(docs: DataFrame, n: int, text_col: str,
+                      id_col: str) -> DataFrame:
+    """(doc_id, ghs array<long>): one row per document carrying the
+    xxhash64 of every word n-gram, hashed straight over the n word columns
+    of each window — no gram STRING is ever concatenated (xxhash64 chains
+    its inputs seed-wise, so word boundaries stay significant), and no
+    per-gram rows exist before the Python boundary (guide §2.3/§4: shuffle
+    and transfer 8-byte keys, not text). Build and probe both read this
+    definition, so Bloom membership of a shared gram is exact by
+    construction (no false negatives)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+    def ghs_of(wd):
+        gidx = F.when(
+            F.size(wd) >= n, F.sequence(F.lit(0), F.size(wd) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            gidx,
+            lambda i: F.xxhash64(
+                *[F.element_at(wd, i + (j + 1)) for j in range(n)]
+            ),
+        )
+
+    # bind the word array as a transform lambda variable so CollapseProject
+    # cannot inline filter(split(text)) into every element_at (the measured
+    # O(n^2) hazard — see text.winnow_fingerprints)
+    ghs = F.element_at(F.transform(F.array(words), ghs_of), 1)
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), ghs.alias("ghs")
+    )
+
+
 def build_benchmark_bloom(bench_docs: DataFrame, n: int = 8,
                           kernel: BloomKernel | None = None,
                           text_col: str = "text",
@@ -59,16 +93,20 @@ def build_benchmark_bloom(bench_docs: DataFrame, n: int = 8,
     (mapInPandas partials + tree merge — the engine's standard harness).
     Returns the merged kernel state.
 
-    Partitioning note (measured): each partial carries the FULL m-register
-    state (m=2^22 float64 = 32 MB), so unlike the id-sketch builds this
-    one must NOT spread a small input to every core — 32 partials of
-    32 MB cost more to merge than the build itself (60s vs 4s at sf0.1).
-    Default: keep the input's own partitioning, capped at 8; pass
-    ``input_partitions`` explicitly for a genuinely huge benchmark set.
-    """
+    The distinct runs on the 8-byte gram hashes, never on gram strings
+    (the old shape shuffled ~5-word strings twice: a string distinct, then
+    a hash distinct). Partitioning note (measured): each partial carries
+    the FULL m-register state, so unlike the id-sketch builds this one
+    must NOT spread a small input to every core — 32 fat partials cost
+    more to merge than the build itself. Default: keep the input's own
+    partitioning, capped at 8; pass ``input_partitions`` explicitly for a
+    genuinely huge benchmark set."""
     kernel = kernel or bloom_kernel()
-    grams = word_ngrams(bench_docs, n, text_col, id_col, distinct=True)
-    items = grams.select(F.xxhash64("gram").alias("item")).distinct()
+    items = (
+        _gram_hash_arrays(bench_docs, n, text_col, id_col)
+        .select(F.explode("ghs").alias("item"))
+        .distinct()
+    )
     if input_partitions is None:
         input_partitions = max(1, min(8, items.rdd.getNumPartitions()))
     return agg.sketch(items, kernel, input_partitions=input_partitions)
@@ -89,48 +127,76 @@ def flag_contaminated_bloom(docs: DataFrame, bloom_state: dict,
     DISTINCT grams whose k Bloom probes all hit; superset of the exact
     overlap (no false negatives), overcount bounded by the FP rate.
 
-    ``include_gramless=True`` (default) left-joins the per-doc counts back
-    onto the full doc-id set so docs with < n words still get a row
-    (n_grams=0, contaminated=false) — one extra co-partitioned join of two
-    SLIM (doc_id, counts) relations, cheap next to the corpus scan. Pass
-    False to keep the probe plan literally join-free (gram-less docs are
-    then absent from the output — the r3 behavior)."""
+    ``include_gramless=True`` (default) keeps a row for docs with < n words
+    (n_grams=0, contaminated=false); False drops them (the r3 behavior).
+
+    Plan shape (guide §2.3/§2.4): gram hashes reach the probe as one
+    ``array<long>`` row per document, the per-doc DISTINCT collapses to a
+    row-local dedup inside the Arrow batch (the old shape shuffled every
+    (doc_id, gram STRING) row through a global distinct first), and since
+    every input doc emits exactly one probe row, no join-back is needed —
+    the whole check rides the scan with a single (doc_id, counts) shuffle.
+    Assumes doc_id uniquely identifies an input row (duplicate ids would
+    sum their per-row counts instead of deduplicating grams across rows).
+    """
     packed = _pack_bits(bloom_state, kernel)
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(packed)
-    num_hashes, seed, m = kernel.num_hashes, kernel.seed, kernel.m
+    num_hashes, seed = kernel.num_hashes, kernel.seed
     dist = kernel.dist
 
-    grams = word_ngrams(docs, n, text_col, id_col, distinct=True).select(
-        "doc_id", F.xxhash64("gram").alias("gh")
-    )
+    gh_docs = _gram_hash_arrays(docs, n, text_col, id_col)
 
     def probe(batches):
         bits = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes, uniq = pd.factorize(pdf["doc_id"], sort=False)
-            gh = pdf["gh"].to_numpy(dtype=np.int64).view(np.uint64)
-            member = np.ones(len(gh), dtype=bool)
-            for i in range(num_hashes):
-                idx = dist.indexes(hash64(gh, seed=seed * 1_000_003 + i)).astype(np.int64)
-                probe = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-                member &= probe.astype(bool)
-            n_grams = np.bincount(codes, minlength=len(uniq))
-            n_hits = np.bincount(codes, weights=member, minlength=len(uniq))
+            cells = pdf["ghs"].to_numpy()
+            sizes = np.fromiter(
+                (0 if c is None else len(c) for c in cells),
+                dtype=np.int64, count=len(cells),
+            )
+            ndocs = len(cells)
+            keep = sizes > 0
+            if keep.any():
+                gh = np.concatenate(
+                    [np.asarray(c, dtype=np.int64) for c in cells[keep]]
+                )
+                codes = np.repeat(np.flatnonzero(keep), sizes[keep])
+                # row-local distinct (doc, gram-hash): sort, keep firsts
+                order = np.lexsort((gh, codes))
+                sc, sg = codes[order], gh[order]
+                first = np.concatenate(
+                    ([True], (sc[1:] != sc[:-1]) | (sg[1:] != sg[:-1]))
+                )
+                codes_u, gh_u = sc[first], sg[first].view(np.uint64)
+                member = np.ones(len(gh_u), dtype=bool)
+                for i in range(num_hashes):
+                    idx = dist.indexes(
+                        hash64(gh_u, seed=seed * 1_000_003 + i)
+                    ).astype(np.int64)
+                    hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                    member &= hit.astype(bool)
+                n_grams = np.bincount(codes_u, minlength=ndocs)
+                n_hits = np.bincount(codes_u, weights=member, minlength=ndocs)
+            else:
+                n_grams = np.zeros(ndocs, dtype=np.int64)
+                n_hits = np.zeros(ndocs, dtype=np.float64)
             yield pd.DataFrame({
-                "doc_id": uniq,
+                "doc_id": pdf["doc_id"].to_numpy(),
                 "n_grams": n_grams.astype(np.int64),
                 "n_hits": n_hits.astype(np.int64),
             })
 
-    partial = grams.mapInPandas(probe, schema="doc_id string, n_grams long, n_hits long")
+    partial = gh_docs.mapInPandas(
+        probe, schema="doc_id string, n_grams long, n_hits long"
+    )
     agg_df = partial.groupBy("doc_id").agg(
         F.sum("n_grams").alias("n_grams"), F.sum("n_hits").alias("n_hits")
     )
-    if include_gramless:
-        return _with_gramless_docs(docs, agg_df, min_hits, id_col)
+    if not include_gramless:
+        agg_df = agg_df.where(F.col("n_grams") > 0)
     return agg_df.withColumn("contaminated", F.col("n_hits") >= min_hits)
 
 

@@ -1195,7 +1195,15 @@ def dup_span_stats(docs: DataFrame, window: int = 6, min_docs: int = 2,
                 idxs,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.xxhash64(gram_at("w", i, window)).alias("fp"),
+                    # hash the W word columns directly (xxhash64 chains its
+                    # inputs seed-wise, so word boundaries stay significant)
+                    # instead of concatenating a gram string per window —
+                    # the fp is internal, only window EQUALITY matters, and
+                    # this skips one O(W-word) string alloc per window on
+                    # both passes over `wins`
+                    F.xxhash64(
+                        *[F.element_at("w", i + (j + 1)) for j in range(window)]
+                    ).alias("fp"),
                 ),
             )
         ).alias("win"),
@@ -1377,7 +1385,16 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3, text_col: str = "text",
     g = doc.select(
         "source",
         F.explode(
-            F.transform(idxs, lambda i: F.xxhash64(gram_at("w", i, n)))
+            F.transform(
+                idxs,
+                # hash the n word columns directly — no gram string alloc;
+                # the fp is internal (only gram equality matters) and
+                # xxhash64 chains inputs seed-wise, keeping boundaries
+                # significant
+                lambda i: F.xxhash64(
+                    *[F.element_at("w", i + (j + 1)) for j in range(n)]
+                ),
+            )
         ).alias("fp"),
     ).distinct()
     sizes = g.groupBy("source").agg(F.count("*").alias("n_grams"))

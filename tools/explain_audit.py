@@ -285,22 +285,22 @@ def main() -> None:
     ))
     assert "Join" not in tree_of(bloom_plan), (
         "Bloom decontam probe plan contains a join!")
-    # default mode adds ONE slim join-back (gram-less docs get 0-rows);
-    # the gram stream itself must still be probe-only: every join in the
-    # plan is on the two-column (doc_id, counts) relations, so the plan
-    # gains exactly one Join node over the join-free mode and the
-    # MapInPandas probe is still there.
+    # default (gram-less-inclusive) mode: gram hashes arrive as one
+    # array<long> row per doc, so EVERY doc emits a probe row and the
+    # former doc_id join-back is gone — the full-output plan must be as
+    # join-free as the r3 mode (r7 optimization: the per-doc distinct is
+    # row-local in the Arrow batch, no gram distinct Exchange either).
     bloom_full_plan = plan_of(
         decontam_ops.flag_contaminated_bloom(ddocs, bstate, kb, n=5))
     sections.append((
-        "decontamination Bloom probe + gram-less join-back (one slim doc_id join)",
+        "decontamination Bloom probe, gram-less-inclusive (join-free, no gram distinct)",
         bloom_full_plan,
         ["MapInPandas"],
     ))
     n_joins = tree_of(bloom_full_plan).count("Join")
-    assert n_joins == 1, (
-        f"Bloom decontam with gramless join-back should hold exactly one "
-        f"slim join, found {n_joins}")
+    assert n_joins == 0, (
+        f"Bloom decontam full-output probe should be join-free "
+        f"(array-per-doc form), found {n_joins} joins")
 
     # 13. exact substring-span dedup: windows fingerprinted BEFORE any
     # shuffle (no gram-string column survives into an Exchange), dup
