@@ -316,11 +316,16 @@ def _band_signatures(signatures: DataFrame, bands: int, rows_per_band: int,
     full (:func:`minhash_lsh_candidates`) and incremental paths so both
     bucket identically."""
     def bucket_col(b):
-        joined = F.concat_ws(
-            ",",
-            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-        )
-        return joined if portable else F.xxhash64(joined)
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            # the DuckDB twin reproduces this exact comma-joined string
+            return F.concat_ws(",", *cols)
+        # production: hash the band's long values directly (xxhash64 chains
+        # inputs seed-wise) — no per-band string build. Buckets encode the
+        # same tuple-equality as the string form, and every candidate is
+        # re-verified by exact signature agreement, so pairs are unchanged
+        # (modulo hash collisions, as before).
+        return F.xxhash64(*cols)
 
     return signatures.select(
         "doc_id",
@@ -964,47 +969,66 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     half-converged clustering. The rounds actually used are exposed on
     the result as ``_cc_rounds``.
     """
-    e = (
+    p = (
         pairs.select(F.col(src).cast("string").alias("a"),
                      F.col(dst).cast("string").alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
     )
-    # undirected: keep both orientations so one join propagates both ways
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    labels = (
-        edges.select(F.col("a").alias("n")).distinct()
-        .select("n", F.col("n").alias("label"))
-        .localCheckpoint()
-    )
+    # undirected: both orientations from ONE scan of the pair pipeline (an
+    # explode, not a self-union — a union's two legs each re-run the
+    # upstream pair generator the first time the cache materializes).
+    # No pre-distinct: duplicate pairs only add rows that the propagate
+    # groupBy collapses anyway, and dropping it removes a shuffle of the
+    # pair stream per CC call.
+    edges = p.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+        )).alias("e")
+    ).select("e.a", "e.b").persist()
+    labels = None  # the identity map, never materialized (see round 1)
     rounds = 0
     round_secs: list[tuple[float, float]] = []  # (propagate+jump, count)
     for _ in range(max_iter):
         rounds += 1
         t0 = time.time()
         if rounds == 1:
-            # labels are the identity map before round 1, so the neighbor
-            # labels ARE the edge endpoints — the edges⋈labels join would
-            # only rename columns. Saves one join stage per CC call.
-            neighbor = edges.select(F.col("a").alias("n"),
-                                    F.col("b").alias("label"))
+            # labels are the identity map before round 1: the node set is
+            # exactly edges' a-side (both orientations present), each
+            # node's own label is itself, and its neighbor labels ARE the
+            # edge endpoints — so round 1 needs NO label table at all and
+            # no edges⋈labels join; both the identity row and the neighbor
+            # row come from ONE scan of edges (explode again, so the not-
+            # yet-cached edge pipeline is not computed once per union leg).
+            # Duplicate (a, a, a) rows collapse in the groupBy. This folds
+            # the former labels-setup job (distinct + localCheckpoint)
+            # into the first propagate.
+            both = edges.select(
+                F.col("a").alias("n"),
+                F.explode(F.array(
+                    F.struct(F.col("a").alias("label"),
+                             F.col("a").alias("old")),
+                    F.struct(F.col("b").alias("label"),
+                             F.lit(None).cast("string").alias("old")),
+                )).alias("s"),
+            ).select("n", "s.label", "s.old")
         else:
             neighbor = (
                 edges.join(labels.select("n", "label"),
                            edges["b"] == labels["n"])
                 .select(F.col("a").alias("n"), "label")
             )
-        # carry each node's pre-round label ("old") through the pipeline:
-        # every node appears exactly once on the labels side, so min/max
-        # aggregate it back out and the convergence check below becomes a
-        # shuffle-free filter over the checkpointed result instead of a
-        # join job per round.
-        propagated = (
-            labels.select("n", "label", F.col("label").alias("old"))
-            .union(neighbor.select(
-                "n", "label", F.lit(None).cast("string").alias("old")))
-            .groupBy("n")
-            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            # carry each node's pre-round label ("old") through the
+            # pipeline: every node appears exactly once on the labels
+            # side, so min/max aggregate it back out and the convergence
+            # check below becomes a shuffle-free filter over the
+            # checkpointed result instead of a join job per round.
+            both = labels.select("n", "label", F.col("label").alias("old")).union(
+                neighbor.select(
+                    "n", "label", F.lit(None).cast("string").alias("old"))
+            )
+        propagated = both.groupBy("n").agg(
+            F.min("label").alias("label"), F.max("old").alias("old")
         )
         # pointer jump (path doubling): label := label[label]. Labels are
         # node ids, every node id is present in the label table, and
@@ -1027,7 +1051,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         else:
             changed = new_labels.where(F.col("label") != F.col("old")).count()
         round_secs.append((t1 - t0, time.time() - t1))
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
