@@ -240,8 +240,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them rather than parsing one as a length
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
-        if marker == 0xD8:  # stray SOI
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone (length-less) markers: TEM, RSTn, stray SOI/EOI
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
@@ -304,6 +309,12 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff, dri) -> np.ndarray:
         raise ValueError("zero-dimension JPEG")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        # the integer-factor upsample below requires divisibility; a legal
+        # but exotic combination (e.g. 3:2) must fail cleanly, not with an
+        # opaque stack shape error
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            raise ValueError("unsupported sampling factors")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []

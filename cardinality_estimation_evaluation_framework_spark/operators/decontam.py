@@ -10,13 +10,17 @@ Two paths, same output schema (doc_id, n_grams, n_hits, contaminated):
   broadcastable — which it is by definition (eval sets are tiny next to
   a 100 TB training corpus).
 - ``flag_contaminated_bloom``: the SCALE path. A Bloom filter of the
-  benchmark grams is built DISTRIBUTED (the engine's own BloomKernel
-  through the partial+tree-merge harness), packed to m/8 bytes, and
-  broadcast; each Arrow batch of training grams probes the bitset with
-  numpy bit ops — zero joins, zero shuffles of the corpus beyond the
-  per-doc counts. Guarantees: NO false negatives (the probe reuses the
-  kernel's exact hash→index computation), and overcount bounded by the
-  classic FP rate (1 - e^{-kn/m})^k — pinned in tests.
+  benchmark gram HASHES is built DISTRIBUTED (the engine's own
+  BloomKernel through the partial+tree-merge harness), packed to m/8
+  bytes, and broadcast; gram hashes reach the probe as one array<long>
+  row per doc (xxhash64 straight over the n word columns — no gram
+  string is ever concatenated), the per-doc distinct happens row-locally
+  in the Arrow batch, and numpy bit ops probe the bitset — zero joins,
+  zero gram shuffles, one (doc_id, counts) shuffle. Guarantees: NO false
+  negatives (build and probe share the exact hash→index definition), and
+  overcount bounded by the classic FP rate (1 - e^{-kn/m})^k — pinned in
+  tests. Counts are over distinct gram hashes, identical to distinct
+  grams absent intra-doc xxhash64 collisions (~n²/2^64 per doc).
 
 Why not always exact: at 100 TB the corpus side has ~10^12 grams; the
 broadcast join stays fine, but probing a 4 MB bitset in-batch avoids

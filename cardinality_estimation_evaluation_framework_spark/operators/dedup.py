@@ -601,10 +601,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        portable: bool = False) -> DataFrame:
     """(doc_id, simhash long): sign-sum of token-hash bit columns.
 
-    Scale posture: no raw-token shuffle — explode preserves the scan's
-    partitioning, each Arrow batch emits per-doc partial bit-accumulators
-    (64 longs per doc), and the groupBy sum merges them (sums are
-    associative). The only shuffled rows are the O(docs) partials.
+    Scale posture: no raw-token shuffle — token hashes stay inside a
+    per-row array (no explode at all), each Arrow batch emits per-doc
+    partial bit-accumulators (64 longs per doc), and the groupBy sum
+    merges them (sums are associative). The only shuffled rows are the
+    O(docs) partials.
 
     Kernel: byte-histogram bit counting — for each of the 8 hash bytes,
     ONE ``bincount`` over (doc_code << 8 | byte_value) gives per-doc byte

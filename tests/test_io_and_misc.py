@@ -425,6 +425,41 @@ def test_jpeg_codec_roundtrip_and_variants():
         jc.jpeg_encode(np.zeros((0, 4), np.uint8))
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 robustness: 0xFF fill bytes before a marker and
+    standalone (length-less) markers — TEM 0x01, stray RSTn — must be
+    skipped, not parsed as a segment length; exotic non-divisible
+    sampling factors must fail with the clean unsupported error."""
+    from cardinality_estimation_evaluation_framework_spark.functions import (
+        jpeg_codec as jc,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    enc = jc.jpeg_encode(g, quality=90)
+    base = jc.jpeg_decode(enc)
+
+    # inject fill bytes + a TEM marker between SOI and the first segment:
+    # decode must be pixel-identical to the clean stream
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    np.testing.assert_array_equal(jc.jpeg_decode(padded), base)
+    tem = enc[:2] + b"\xff\x01" + enc[2:]
+    np.testing.assert_array_equal(jc.jpeg_decode(tem), base)
+    both = enc[:2] + b"\xff\xff\x01" + b"\xff\xd0" + enc[2:]
+    np.testing.assert_array_equal(jc.jpeg_decode(both), base)
+
+    # non-divisible sampling factors (3:2) -> clean rejection, not a
+    # stack-shape crash
+    bad = bytearray(jc.jpeg_encode(np.dstack([g, g, g]), quality=90,
+                                   subsampling="420"))
+    sof = bad.find(b"\xff\xc0")
+    # Cb's h/v sampling byte lives at SOF body offset 10: make it 3x3 so
+    # hmax=3 while Y keeps hs=2 — 3 % 2 != 0, the non-divisible case
+    bad[sof + 4 + 10] = 0x33
+    with pytest.raises(ValueError, match="sampling"):
+        jc.jpeg_decode(bytes(bad))
+
+
 def test_real_image_decode_stdlib_jpeg(spark):
     """The REAL decode path runs end-to-end WITHOUT PIL on JPEG payloads
     through the mapInPandas plumbing — closing the most-common-crawl-

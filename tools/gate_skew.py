@@ -25,6 +25,8 @@ Writes SKEW.json; exit 1 on any failure.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -91,6 +93,16 @@ def cap_stats(banded, keys):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sfskew"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        # the corpus is a pure function of a fixed seed — regenerate instead
+        # of keeping a 7 MB binary in git (ADVICE r6)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "make_skew_corpus.py"),
+             sf_dir],
+            check=True,
+        )
     spark = get_spark("gateskew", cores=32)
     con = duckdb.connect()
     con.execute(f"""CREATE VIEW documents AS
