@@ -249,6 +249,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             # standalone (length-less) markers: TEM, RSTn, stray SOI/EOI
             pos += 2
             continue
+        if pos + 4 > len(data):
+            # fill-byte skip may have consumed the loop guard's margin: a
+            # truncated tail must stay a ValueError, not a struct.error
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT

@@ -323,9 +323,14 @@ def grouped_sketch_partials(
         for pdf in batches:
             vals = pdf["item"].to_numpy(dtype=np_dtype, na_value=0)
             # vectorized per-key split: sort by key codes, slice runs
-            # (single-key fast path skips the MultiIndex build)
+            # (single-key fast path skips the MultiIndex build;
+            # use_na_sentinel=False keeps NULL keys as a real group — the
+            # bare factorize would code them -1, silently folding null-key
+            # rows into uniq[-1], i.e. the wrong key's sketch)
             if len(key_cols) == 1:
-                codes, uniq = pd.factorize(pdf[key_cols[0]], sort=False)
+                codes, uniq = pd.factorize(
+                    pdf[key_cols[0]], sort=False, use_na_sentinel=False
+                )
             else:
                 codes, uniq = pd.factorize(
                     pd.MultiIndex.from_frame(pdf[key_cols]), sort=False

@@ -63,28 +63,19 @@ def _gram_hash_arrays(docs: DataFrame, n: int, text_col: str,
     per-gram rows exist before the Python boundary (guide §2.3/§4: shuffle
     and transfer 8-byte keys, not text). Build and probe both read this
     definition, so Bloom membership of a shared gram is exact by
-    construction (no false negatives)."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    construction (no false negatives). NOTE: this definition changed in r7
+    (was xxhash64 of the concatenated gram string) — Bloom states packed
+    by earlier versions must be rebuilt before probing with this one."""
+    from cardinality_estimation_evaluation_framework_spark.operators.text import (
+        gram_hash_arrays,
     )
 
-    def ghs_of(wd):
-        gidx = F.when(
-            F.size(wd) >= n, F.sequence(F.lit(0), F.size(wd) - n)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            gidx,
-            lambda i: F.xxhash64(
-                *[F.element_at(wd, i + (j + 1)) for j in range(n)]
-            ),
-        )
-
-    # bind the word array as a transform lambda variable so CollapseProject
-    # cannot inline filter(split(text)) into every element_at (the measured
-    # O(n^2) hazard — see text.winnow_fingerprints)
-    ghs = F.element_at(F.transform(F.array(words), ghs_of), 1)
-    return docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), ghs.alias("ghs")
+    return gram_hash_arrays(
+        docs, n,
+        lambda wd, i: F.xxhash64(
+            *[F.element_at(wd, i + (j + 1)) for j in range(n)]
+        ),
+        text_col, id_col,
     )
 
 

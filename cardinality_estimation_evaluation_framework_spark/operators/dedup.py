@@ -255,25 +255,16 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     """
     from cardinality_estimation_evaluation_framework_spark.operators.text import (
         gram_at,
+        gram_hash_arrays,
     )
 
     gram_hash = md5_u64_spark if portable else F.xxhash64
-
-    def ghs_of(wd):
-        gidx = F.when(
-            F.size(wd) >= n, F.sequence(F.lit(0), F.size(wd) - n)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(gidx, lambda i: gram_hash(gram_at(wd, i, n)))
-
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    # bind the word array as a transform lambda variable so CollapseProject
-    # cannot inline filter(split(text)) into every element_at (the measured
-    # O(k*n^2) hazard — see winnow_fingerprints)
-    ghs = F.element_at(F.transform(F.array(words), ghs_of), 1)
-    doc_ghs = _ensure_parallelism(docs).select(
-        F.col(id_col).cast("string").alias("doc_id"), ghs.alias("ghs")
+    # gram STRING hashing on purpose: signature values (and est_jaccard)
+    # are output-visible, so the hash family must stay what it was
+    doc_ghs = gram_hash_arrays(
+        _ensure_parallelism(docs), n,
+        lambda wd, i: gram_hash(gram_at(wd, i, n)),
+        text_col, id_col,
     )
 
     def per_batch(batches):
@@ -1043,11 +1034,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .localCheckpoint()  # cut lineage (eager: materializes here)
         )
         t1 = time.time()
-        if rounds == 1:
-            # an edge (a, b) with a != b always lowers max(a, b)'s label, so
-            # round 1 converges only when the edge set is empty — and then
-            # every later job is a no-op over an empty cached frame. Skip
-            # the count; round 2 performs the first real convergence check.
+        if rounds == 1 and max_iter > 1:
+            # an edge (a, b) with a != b always lowers max(a, b)'s label,
+            # so round 1 can only converge on an empty/self-loop edge set —
+            # and then every later job is a no-op over a tiny cached frame.
+            # Skip the count; round 2 performs the first real convergence
+            # check. (With max_iter == 1 there is no round 2, so count now
+            # rather than raise a spurious non-convergence error.)
             changed = -1
         else:
             changed = new_labels.where(F.col("label") != F.col("old")).count()

@@ -59,6 +59,38 @@ def gram_at(arr, i, n: int) -> Column:
                               for j in range(n)])
 
 
+def gram_hash_arrays(docs: DataFrame, n: int, gram_hash,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id string, ghs array<long>): one hash per word n-gram, one ROW
+    per document — the Arrow-slim input shape for per-doc gram kernels
+    (minhash signatures, decontam Bloom probe): no explode, no per-gram
+    rows, the doc_id travels once per doc.
+
+    ``gram_hash``: callable (word-array lambda var, 0-based start index)
+    -> hash Column; callers choose string-gram hashing
+    (``gram_hash(gram_at(wd, i, n))``-style) or multi-column hashing over
+    the window's words. The word array is bound as a transform lambda
+    variable so CollapseProject cannot inline filter(split(text)) into
+    every element access — the measured O(k*n_tok^2) hazard; see
+    :func:`winnow_fingerprints` for the idiom's history. Docs with fewer
+    than n words get an empty array (callers decide whether they emit)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+    def ghs_of(wd):
+        gidx = F.when(
+            F.size(wd) >= n, F.sequence(F.lit(0), F.size(wd) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(gidx, lambda i: gram_hash(wd, i))
+
+    ghs = F.element_at(F.transform(F.array(words), ghs_of), 1)
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), ghs.alias("ghs")
+    )
+
+
 def duckdb_tok_ctes(prefix: str = "",
                     key_expr: str = "CAST(doc_id AS VARCHAR)",
                     key_name: str = "doc_id", text_col: str = "text",

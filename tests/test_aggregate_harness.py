@@ -51,6 +51,37 @@ def test_grouped_sketch(spark):
         assert abs(row["estimate"] - 20_000) / 20_000 < 0.05
 
 
+def test_grouped_sketch_null_key(spark):
+    # NULL group keys must form their own group (the single-key factorize
+    # fast path would otherwise code them -1 and fold their items into the
+    # LAST key's sketch — or crash on an all-null batch)
+    df = spark.range(30_000).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("src"),
+        F.col("id").alias("item"),
+    )
+    k = HllKernel(p=12, seed=7)
+    est = agg.grouped_estimate(
+        agg.grouped_sketch(df, k, ["src"], "item"), k, ["src"], "estimate"
+    ).collect()
+    by_key = {row["src"]: row["estimate"] for row in est}
+    assert set(by_key) == {None, "1", "2"}
+    for key, e in by_key.items():
+        assert abs(e - 10_000) / 10_000 < 0.05, key
+    # all-null keys: one group whose registers are bit-identical to a
+    # local build over the same items (estimate accuracy is irrelevant
+    # here; grouping correctness is the point)
+    df_null = spark.range(5_000).select(
+        F.lit(None).cast("string").alias("src"), F.col("id").alias("item")
+    )
+    rows = agg.grouped_sketch(df_null, k, ["src"], "item").collect()
+    assert len(rows) == 1 and rows[0]["src"] is None
+    local = k.update(k.empty(), np.arange(5_000, dtype=np.int64))
+    got = k.unpack(bytes(rows[0]["sketch"]))
+    assert (got["registers"] == local["registers"]).all()
+
+
 def test_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("item"))
     k = HllKernel(p=10, seed=0)

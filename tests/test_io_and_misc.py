@@ -448,6 +448,11 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     both = enc[:2] + b"\xff\xff\x01" + b"\xff\xd0" + enc[2:]
     np.testing.assert_array_equal(jc.jpeg_decode(both), base)
 
+    # truncated stream ending in fill bytes: still ValueError, never a
+    # raw struct.error (the multimodal seam only converts ValueError)
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(b"\xff\xd8\xff\xff\xff\xdb")
+
     # non-divisible sampling factors (3:2) -> clean rejection, not a
     # stack-shape crash
     bad = bytearray(jc.jpeg_encode(np.dstack([g, g, g]), quality=90,
